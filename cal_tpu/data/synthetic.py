@@ -1,0 +1,207 @@
+"""Synthetic OOD dataset: motif shapes on confounded basis graphs.
+
+Behavioral port of the reference generator stack (utils.py:59-89,
+gengraph.py:51-79, synthetic_structsim.py, featgen.py:14-31) on host NumPy /
+networkx:
+
+* 4 classes = motif shape {house, cycle(6), grid(2x3), diamond};
+* confounder = basis context {tree, ba}:
+    - ba:   barabasi_albert_graph(width = node_num^2, m = 2)
+    - tree: balanced_tree(r = node_num, height = 2)
+  (settings_dict, reference utils.py:62-63: tree width_basis=2 is the height,
+  m=node_num is the branching factor -> tree(start, 2, r=node_num));
+* one motif attached at a random basis node (build_graph,
+  synthetic_structsim.py:254-279);
+* +noise (default 10%) random extra edges (perturb, gengraph.py:13-33);
+* node features = one-hot degree capped at max_degree (featgen.py:21-28);
+* biased split (utils.py:123-159): P(tree | house) = bias,
+  P(tree | other class) = 1 - bias in train/val; test is 50/50.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Sequence
+
+import networkx as nx
+import numpy as np
+
+from cal_tpu.graph import HostGraph
+
+SYN_CLASSES = ["house", "cycle", "grid", "diamond"]
+SYN_CONTEXTS = ["tree", "ba"]
+
+
+# --------------------------------------------------------------------------
+# motif constructors (synthetic_structsim.py:49-204) as edge lists
+# --------------------------------------------------------------------------
+
+def _motif_edges(shape: str) -> tuple[int, list[tuple[int, int]]]:
+    if shape == "house":
+        # 4-cycle + roof node connected to nodes 0,1 (synthetic_structsim.py:169-195)
+        return 5, [(0, 1), (1, 2), (2, 3), (3, 0), (4, 0), (4, 1)]
+    if shape == "cycle":
+        # 6-cycle (gengraph.py:62 uses ["cycle", 6])
+        return 6, [(i, (i + 1) % 6) for i in range(6)]
+    if shape == "diamond":
+        # 6-cycle + chords (5,1) and (4,2) (synthetic_structsim.py:114-125)
+        return 6, [(i, (i + 1) % 6) for i in range(6)] + [(5, 1), (4, 2)]
+    if shape == "grid":
+        # 2x3 grid (synthetic_structsim.py:198-204)
+        n = 6  # nodes (r, c): id = r*3 + c for r in 0..1, c in 0..2
+        edges = []
+        for r in range(2):
+            for c in range(3):
+                if c + 1 < 3:
+                    edges.append((r * 3 + c, r * 3 + c + 1))
+                if r + 1 < 2:
+                    edges.append((r * 3 + c, (r + 1) * 3 + c))
+        return n, edges
+    raise ValueError(shape)
+
+
+def build_graph(
+    context: str,
+    shape: str,
+    node_num: int,
+    rng: np.random.Generator,
+    nb_shapes: int = 1,
+) -> nx.Graph:
+    """Basis + attached motif(s) (synthetic_structsim.py:207-288)."""
+    if context == "ba":
+        g = nx.barabasi_albert_graph(node_num ** 2, 2, seed=int(rng.integers(2**31)))
+    elif context == "tree":
+        g = nx.balanced_tree(node_num, 2)
+    else:
+        raise ValueError(context)
+    n_basis = g.number_of_nodes()
+    # motifs attach at random basis nodes, sampled without replacement
+    # (rdm_basis_plugins=True, synthetic_structsim.py:247-248)
+    plugins = rng.choice(n_basis, nb_shapes, replace=False)
+    start = n_basis
+    for k in range(nb_shapes):
+        n_s, edges = _motif_edges(shape)
+        g.add_nodes_from(range(start, start + n_s))
+        g.add_edges_from([(start + u, start + v) for u, v in edges])
+        g.add_edge(start, int(plugins[k]))  # attach (synthetic_structsim.py:270)
+        start += n_s
+    return g
+
+
+def perturb(g: nx.Graph, p: float, rng: np.random.Generator) -> nx.Graph:
+    """Add ``p * num_edges`` random non-existing edges (gengraph.py:13-33)."""
+    extra = int(g.number_of_edges() * p)
+    n = g.number_of_nodes()
+    for _ in range(extra):
+        while True:
+            u = int(rng.integers(0, n))
+            v = int(rng.integers(0, n))
+            if u != v and not g.has_edge(u, v):
+                break
+        g.add_edge(u, v)
+    return g
+
+
+def degree_onehot(g: nx.Graph, max_degree: int) -> np.ndarray:
+    """One-hot degree capped at max_degree-1 (featgen.py:21-28)."""
+    n = g.number_of_nodes()
+    x = np.zeros((n, max_degree), np.float32)
+    for node, deg in g.degree():
+        x[node, min(deg, max_degree - 1)] = 1.0
+    return x
+
+
+def nx_to_host_graph(g: nx.Graph, y: int, x: np.ndarray) -> HostGraph:
+    """Undirected nx graph -> both-direction edge list (PyG from_networkx)."""
+    if g.number_of_edges():
+        e = np.asarray(list(g.edges()), np.int32)
+        senders = np.concatenate([e[:, 0], e[:, 1]])
+        receivers = np.concatenate([e[:, 1], e[:, 0]])
+    else:
+        senders = receivers = np.zeros((0,), np.int32)
+    return HostGraph(x=x, senders=senders, receivers=receivers, y=y)
+
+
+def make_graph(
+    context: str,
+    shape: str,
+    label: int,
+    node_num: int,
+    max_degree: int,
+    noise: float,
+    rng: np.random.Generator,
+    shape_num: int = 1,
+) -> HostGraph:
+    g = build_graph(context, shape, node_num, rng, shape_num)
+    if noise:
+        g = perturb(g, noise, rng)
+    x = degree_onehot(g, max_degree)
+    return nx_to_host_graph(g, label, x)
+
+
+def generate_synthetic_dataset(
+    data_num: int = 2000,
+    node_num: int = 15,
+    max_degree: int = 10,
+    noise: float = 0.1,
+    shape_num: int = 1,
+    seed: int = 666,
+    cache_path: str | None = None,
+) -> Dict[str, Dict[str, List[HostGraph]]]:
+    """dataset[context][shape] = data_num HostGraphs (utils.py:59-89)."""
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+    rng = np.random.default_rng(seed)
+    dataset: Dict[str, Dict[str, List[HostGraph]]] = {c: {} for c in SYN_CONTEXTS}
+    for label, shape in enumerate(SYN_CLASSES):
+        for context in SYN_CONTEXTS:
+            dataset[context][shape] = [
+                make_graph(
+                    context, shape, label, node_num, max_degree, noise, rng,
+                    shape_num,
+                )
+                for _ in range(data_num)
+            ]
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(dataset, f)
+    return dataset
+
+
+def dataset_bias_split(
+    dataset,
+    bias: float,
+    split=(7, 1, 2),
+    total: int = 8000,
+    num_classes: int = 4,
+    seed: int | None = None,
+):
+    """Confounded train/val vs balanced test split (utils.py:123-159).
+
+    Train & val: P(tree | house) = bias, P(tree | other) = 1 - bias.
+    Test: 50/50 tree/ba per class — the OOD evaluation.
+    """
+    bias_dict = {s: (bias if s == "house" else 1.0 - bias) for s in SYN_CLASSES}
+    tr_ds, ba_ds = dataset["tree"], dataset["ba"]
+    tr_split = total * split[0] / 10 / num_classes
+    va_split = total * split[1] / 10 / num_classes
+    te_split = total * split[2] / 10 / num_classes
+    train, val, test = [], [], []
+    for shape in SYN_CLASSES:
+        b = bias_dict[shape]
+        n_tr_t, n_tr_b = int(tr_split * b), int(tr_split * (1 - b))
+        n_va_t, n_va_b = int(va_split * b), int(va_split * (1 - b))
+        n_te_t, n_te_b = int(te_split * 0.5), int(te_split * 0.5)
+        t, a = tr_ds[shape], ba_ds[shape]
+        train += t[:n_tr_t] + a[:n_tr_b]
+        val += t[n_tr_t : n_tr_t + n_va_t] + a[n_tr_b : n_tr_b + n_va_b]
+        test += (
+            t[n_tr_t + n_va_t : n_tr_t + n_va_t + n_te_t]
+            + a[n_tr_b + n_va_b : n_tr_b + n_va_b + n_te_b]
+        )
+    rng = np.random.default_rng(seed)
+    for lst in (train, val, test):
+        rng.shuffle(lst)
+    return train, val, test

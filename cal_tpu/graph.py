@@ -1,0 +1,346 @@
+"""Static-shape graph batch containers for TPU/XLA.
+
+The reference framework (yongduosui/CAL) relies on PyG's dynamic-shape
+``Batch`` collation (reference: train_causal.py:13-15).  XLA requires static
+shapes, so the TPU-native design uses *padded disjoint-union batches*:
+
+* nodes of all graphs concatenated and padded to ``num_nodes`` rows;
+* directed edges concatenated (with node-index offsets) and padded to
+  ``num_edges``;
+* graphs padded to ``num_graphs`` slots, **valid graphs always form a
+  contiguous prefix** (this invariant makes the device-side intervention
+  permutation cheap — see models/causal.py).
+
+Padded nodes are assigned to an extra "trash" segment (id == num_graphs) so
+segment reductions never pollute real graph readouts.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A padded disjoint-union batch of graphs (all leaves fixed-shape).
+
+    Attributes:
+      x:          [num_nodes, feat]  node features (padded rows are zero).
+      senders:    [num_edges] int32  source node index of each directed edge.
+      receivers:  [num_edges] int32  target node index of each directed edge.
+      edge_mask:  [num_edges] bool   True for real edges.
+      node_mask:  [num_nodes] bool   True for real nodes.
+      node_graph: [num_nodes] int32  graph id per node; padded nodes -> G.
+      y:          [num_graphs] int32 labels (padded slots are 0).
+      graph_mask: [num_graphs] bool  True for real graphs (contiguous prefix).
+    """
+
+    x: jax.Array
+    senders: jax.Array
+    receivers: jax.Array
+    edge_mask: jax.Array
+    node_mask: jax.Array
+    node_graph: jax.Array
+    y: jax.Array
+    graph_mask: jax.Array
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def n_real_graphs(self) -> jax.Array:
+        return self.graph_mask.sum()
+
+
+def pad_sizes_for(
+    graphs: Sequence, batch_size: int, multiple: int = 128
+) -> tuple[int, int]:
+    """Safe static (node, edge) budgets for any ``batch_size``-graph batch.
+
+    Upper bound = sum of the ``batch_size`` largest graphs, rounded up so
+    recompilation never triggers across epochs/shuffles.
+    """
+    n_nodes = sorted((int(g.x.shape[0]) for g in graphs), reverse=True)
+    n_edges = sorted((int(g.senders.shape[0]) for g in graphs), reverse=True)
+    pad_n = sum(n_nodes[:batch_size]) + 1
+    pad_e = max(sum(n_edges[:batch_size]), 1)
+    rup = lambda v: ((v + multiple - 1) // multiple) * multiple
+    return rup(pad_n), rup(pad_e)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseGraphBatch:
+    """Dense padded graph batch — the primary TPU layout.
+
+    CAL-style graph-classification graphs are small (synthetic <=241 nodes,
+    reference utils.py:62-63; TU molecules <=~620), so each graph is padded to
+    a static node budget N and message passing becomes **batched masked
+    matmuls on the MXU** — no gather/scatter at all.  This replaces the
+    reference's PyG sparse ``propagate`` (gcn_conv.py:92) for small graphs.
+
+    Attributes:
+      x:          [B, N, F]  node features (padded rows zero).
+      adj:        [B, N, N]  adjacency; adj[b, r, s] = 1 iff directed edge
+                  s -> r ("row=receiver" to mirror reference gcn_conv.py:65-70
+                  scatter-to-row).  No self loops (convs add their own,
+                  reference gcn_conv.py:56-63).
+      node_mask:  [B, N] bool  True for real nodes.
+      y:          [B] int32  labels.
+      graph_mask: [B] bool  True for real graphs (contiguous prefix).
+    """
+
+    x: jax.Array
+    adj: jax.Array
+    node_mask: jax.Array
+    y: jax.Array
+    graph_mask: jax.Array
+
+    @property
+    def num_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def node_budget(self) -> int:
+        return self.x.shape[1]
+
+
+def densify(
+    graphs: Sequence["HostGraph"],
+    num_graphs: int,
+    node_budget: int,
+    dtype=np.float32,
+) -> DenseGraphBatch:
+    """Collate host graphs into a DenseGraphBatch (host-side NumPy)."""
+    g = len(graphs)
+    if g > num_graphs:
+        raise ValueError(f"{g} graphs > budget {num_graphs}")
+    feat = graphs[0].x.shape[1]
+    x = np.zeros((num_graphs, node_budget, feat), dtype)
+    adj = np.zeros((num_graphs, node_budget, node_budget), dtype)
+    node_mask = np.zeros((num_graphs, node_budget), bool)
+    y = np.zeros((num_graphs,), np.int32)
+    graph_mask = np.zeros((num_graphs,), bool)
+    for i, gr in enumerate(graphs):
+        n = gr.num_nodes
+        if n > node_budget:
+            raise ValueError(f"graph has {n} nodes > node budget {node_budget}")
+        x[i, :n] = gr.x
+        # receivers index rows (reference scatter-to-row, gcn_conv.py:66).
+        # np.add.at keeps duplicate-edge multiplicity (attention weights are a
+        # function of endpoint features, so duplicates share one weight and
+        # multiplicity-counting reproduces sparse semantics exactly).
+        np.add.at(adj[i], (gr.receivers, gr.senders), 1.0)
+        node_mask[i, :n] = True
+        y[i] = gr.y
+        graph_mask[i] = True
+    return DenseGraphBatch(
+        x=jnp.asarray(x),
+        adj=jnp.asarray(adj),
+        node_mask=jnp.asarray(node_mask),
+        y=jnp.asarray(y),
+        graph_mask=jnp.asarray(graph_mask),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedDenseBatch:
+    """Compact host->device form of a dense batch.
+
+    Shipping a [B, N, N] adjacency over PCIe every step wastes bandwidth
+    (~33 MB/batch at B=128, N=256 fp32); instead the host packs edges as
+    (graph, receiver, sender) index triples (~1 MB) and ``to_dense`` rebuilds
+    the adjacency on device with one scatter-add inside the jitted step.
+
+    Attributes:
+      x:          [B, N, F]  node features.
+      edge_graph: [E] int32  graph slot of each directed edge.
+      edge_recv:  [E] int32  within-graph receiver index.
+      edge_send:  [E] int32  within-graph sender index.
+      edge_mask:  [E] bool   True for real edges.
+      node_mask:  [B, N] bool.
+      y:          [B] int32.
+      graph_mask: [B] bool   (real graphs are a contiguous prefix).
+    """
+
+    x: jax.Array
+    edge_graph: jax.Array
+    edge_recv: jax.Array
+    edge_send: jax.Array
+    edge_mask: jax.Array
+    node_mask: jax.Array
+    y: jax.Array
+    graph_mask: jax.Array
+
+
+def pack_dense(
+    graphs: Sequence["HostGraph"],
+    num_graphs: int,
+    node_budget: int,
+    edge_budget: int,
+    dtype=np.float32,
+) -> PackedDenseBatch:
+    """Collate host graphs into a PackedDenseBatch (host-side NumPy)."""
+    g = len(graphs)
+    if g > num_graphs:
+        raise ValueError(f"{g} graphs > budget {num_graphs}")
+    tot_e = sum(gr.num_edges for gr in graphs)
+    if tot_e > edge_budget:
+        raise ValueError(f"{tot_e} edges > budget {edge_budget}")
+    feat = graphs[0].x.shape[1]
+    x = np.zeros((num_graphs, node_budget, feat), dtype)
+    edge_graph = np.zeros((edge_budget,), np.int32)
+    edge_recv = np.zeros((edge_budget,), np.int32)
+    edge_send = np.zeros((edge_budget,), np.int32)
+    edge_mask = np.zeros((edge_budget,), bool)
+    node_mask = np.zeros((num_graphs, node_budget), bool)
+    y = np.zeros((num_graphs,), np.int32)
+    graph_mask = np.zeros((num_graphs,), bool)
+    e_off = 0
+    for i, gr in enumerate(graphs):
+        n, e = gr.num_nodes, gr.num_edges
+        if n > node_budget:
+            raise ValueError(f"graph has {n} nodes > node budget {node_budget}")
+        x[i, :n] = gr.x
+        edge_graph[e_off : e_off + e] = i
+        edge_recv[e_off : e_off + e] = gr.receivers
+        edge_send[e_off : e_off + e] = gr.senders
+        edge_mask[e_off : e_off + e] = True
+        node_mask[i, :n] = True
+        y[i] = gr.y
+        graph_mask[i] = True
+        e_off += e
+    return PackedDenseBatch(
+        x=jnp.asarray(x),
+        edge_graph=jnp.asarray(edge_graph),
+        edge_recv=jnp.asarray(edge_recv),
+        edge_send=jnp.asarray(edge_send),
+        edge_mask=jnp.asarray(edge_mask),
+        node_mask=jnp.asarray(node_mask),
+        y=jnp.asarray(y),
+        graph_mask=jnp.asarray(graph_mask),
+    )
+
+
+def to_dense(p: PackedDenseBatch, dtype=None) -> DenseGraphBatch:
+    """Materialize the [B, N, N] adjacency on device (jit-friendly)."""
+    dtype = dtype or p.x.dtype
+    b, n, _ = p.x.shape
+    adj = jnp.zeros((b, n, n), dtype)
+    adj = adj.at[p.edge_graph, p.edge_recv, p.edge_send].add(
+        p.edge_mask.astype(dtype), mode="drop"
+    )
+    return DenseGraphBatch(
+        x=p.x.astype(dtype),
+        adj=adj,
+        node_mask=p.node_mask,
+        y=p.y,
+        graph_mask=p.graph_mask,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class HostGraph:
+    """A single un-batched graph on the host (NumPy)."""
+
+    x: np.ndarray          # [n, feat] float32
+    senders: np.ndarray    # [e] int (directed; undirected graphs store both dirs)
+    receivers: np.ndarray  # [e] int
+    y: int
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+
+def batch_graphs(
+    graphs: Sequence[HostGraph],
+    num_graphs: int,
+    num_nodes: int,
+    num_edges: int,
+    sort_edges_by_receiver: bool = True,
+) -> GraphBatch:
+    """Collate host graphs into one padded ``GraphBatch`` (NumPy, host-side).
+
+    Mirrors PyG disjoint-union batching (concat + offset edge indices) but
+    with static padding.  Edges are optionally sorted by receiver so device
+    segment-reductions can use ``indices_are_sorted=True`` and the Pallas
+    SpMM kernel can tile contiguous receiver ranges.
+    """
+    g = len(graphs)
+    if g > num_graphs:
+        raise ValueError(f"{g} graphs > budget {num_graphs}")
+    tot_n = sum(gr.num_nodes for gr in graphs)
+    tot_e = sum(gr.num_edges for gr in graphs)
+    if tot_n > num_nodes or tot_e > num_edges:
+        raise ValueError(
+            f"batch needs ({tot_n} nodes, {tot_e} edges) > budget "
+            f"({num_nodes}, {num_edges})"
+        )
+    feat = graphs[0].x.shape[1]
+    x = np.zeros((num_nodes, feat), np.float32)
+    senders = np.zeros((num_edges,), np.int32)
+    receivers = np.zeros((num_edges,), np.int32)
+    edge_mask = np.zeros((num_edges,), bool)
+    node_mask = np.zeros((num_nodes,), bool)
+    # Padded nodes go to trash segment `num_graphs`.
+    node_graph = np.full((num_nodes,), num_graphs, np.int32)
+    y = np.zeros((num_graphs,), np.int32)
+    graph_mask = np.zeros((num_graphs,), bool)
+
+    n_off = e_off = 0
+    for i, gr in enumerate(graphs):
+        n, e = gr.num_nodes, gr.num_edges
+        x[n_off : n_off + n] = gr.x
+        senders[e_off : e_off + e] = gr.senders + n_off
+        receivers[e_off : e_off + e] = gr.receivers + n_off
+        edge_mask[e_off : e_off + e] = True
+        node_mask[n_off : n_off + n] = True
+        node_graph[n_off : n_off + n] = i
+        y[i] = gr.y
+        graph_mask[i] = True
+        n_off += n
+        e_off += e
+
+    # Padded edges point at the last (always-padded if budgets leave room,
+    # otherwise harmless since their mask is False) node slot.
+    senders[e_off:] = num_nodes - 1
+    receivers[e_off:] = num_nodes - 1
+
+    if sort_edges_by_receiver:
+        order = np.argsort(receivers, kind="stable")
+        senders, receivers, edge_mask = (
+            senders[order],
+            receivers[order],
+            edge_mask[order],
+        )
+
+    return GraphBatch(
+        x=jnp.asarray(x),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        edge_mask=jnp.asarray(edge_mask),
+        node_mask=jnp.asarray(node_mask),
+        node_graph=jnp.asarray(node_graph),
+        y=jnp.asarray(y),
+        graph_mask=jnp.asarray(graph_mask),
+    )

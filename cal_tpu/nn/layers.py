@@ -1,0 +1,237 @@
+"""Layers: mask-aware BatchNorm, torch/PyG-parity linear layers, conv layers.
+
+Initializer parity with the reference stack:
+  * torch ``nn.Linear``: weight & bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    (kaiming_uniform(a=sqrt(5)) reduces to that bound).
+  * PyG ``glorot``: U(-sqrt(6/(fan_in+fan_out)), +...), bias zeros
+    (reference gcn_conv.py:39-41).
+  * BatchNorm1d: affine, eps=1e-5, momentum=0.1; the reference re-initializes
+    every BN to weight=1, bias=1e-4 (model.py:80-83) — our default.
+
+BatchNorm under padding: statistics must be computed over *real* rows only
+(padded nodes/graphs would corrupt them), hence every call takes a mask.
+Matches torch semantics: biased variance for normalization, unbiased for the
+running-variance update, momentum 0.1.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.ops.gcn import gcn_aggregate
+from cal_tpu.ops.gat import gat_aggregate_dense, gat_aggregate_sparse
+from cal_tpu.ops.gin import gin_aggregate
+
+
+def torch_linear_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def glorot_init(fan_in: int, fan_out: int):
+    bound = (6.0 / (fan_in + fan_out)) ** 0.5
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch default init (used for att MLPs & readout FCs)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        w = self.param("kernel", torch_linear_init(fan_in), (fan_in, self.features))
+        y = x @ w
+        if self.use_bias:
+            b = self.param("bias", torch_linear_init(fan_in), (self.features,))
+            y = y + b
+        return y
+
+
+class GlorotLinear(nn.Module):
+    """Linear with PyG glorot weight + zero bias (GCNConv parameters)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        w = self.param(
+            "kernel", glorot_init(fan_in, self.features), (fan_in, self.features)
+        )
+        y = x @ w
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with masked statistics (torch-parity, padding-safe)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    bias_init_value: float = 1e-4  # reference model.py:80-83
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param(
+            "bias",
+            lambda k, s: jnp.full(s, self.bias_init_value, jnp.float32),
+            (c,),
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            rows = x.reshape(-1, c)
+            if mask is None:
+                n = jnp.asarray(rows.shape[0], x.dtype)
+                mean = rows.mean(axis=0)
+                var = ((rows - mean) ** 2).mean(axis=0)
+            else:
+                m = mask.reshape(-1).astype(x.dtype)
+                n = jnp.maximum(m.sum(), 1.0)
+                mean = (rows * m[:, None]).sum(axis=0) / n
+                var = (((rows - mean) ** 2) * m[:, None]).sum(axis=0) / n
+            if not self.is_initializing():
+                # torch: running stats use unbiased variance (n/(n-1)).
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                mom = self.momentum
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class GCNConvLayer(nn.Module):
+    """Reference ``GCNConv`` (gcn_conv.py:10-104): glorot weight, zero bias,
+    optional ``gfn`` (pure linear, gcn_conv.py:76-77) and edge weights."""
+
+    features: int
+    gfn: bool = False
+    edge_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, g=None, edge_weight=None):
+        fan_in = x.shape[-1]
+        w = self.param(
+            "kernel", glorot_init(fan_in, self.features), (fan_in, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x @ w
+        if self.gfn:
+            return x  # bias NOT added in gfn mode (gcn_conv.py:76-77 returns early)
+        if self.edge_norm:
+            x = gcn_aggregate(x, g, edge_weight)
+        else:
+            # un-normalized sum aggregation (edge_norm=False path,
+            # gcn_conv.py:87-99: message = x_j, no self loops added).
+            x = gin_aggregate(x, g, eps=-1.0)
+        return x + b
+
+
+class GATConvLayer(nn.Module):
+    """PyG-1.1.0 ``GATConv`` (see ops/gat.py docstring for formulation)."""
+
+    out_per_head: int
+    heads: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, g, deterministic: bool = True):
+        fan_in = x.shape[-1]
+        w = self.param(
+            "kernel",
+            glorot_init(fan_in, self.heads * self.out_per_head),
+            (fan_in, self.heads * self.out_per_head),
+        )
+        att = self.param(
+            "att",
+            glorot_init(self.heads, 2 * self.out_per_head),
+            (self.heads, 2 * self.out_per_head),
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.heads * self.out_per_head,)
+        )
+        att_dst = att[:, : self.out_per_head]   # multiplies x_i (receiver)
+        att_src = att[:, self.out_per_head :]   # multiplies x_j (sender)
+        rng = None
+        if not deterministic and self.dropout > 0:
+            rng = self.make_rng("dropout")
+        if isinstance(g, DenseGraphBatch):
+            bsz, n, _ = x.shape
+            xh = (x @ w).reshape(bsz, n, self.heads, self.out_per_head)
+            out = gat_aggregate_dense(
+                xh, g.adj, att_dst, att_src, self.dropout, rng
+            )
+            out = out.reshape(bsz, n, self.heads * self.out_per_head)
+        else:
+            assert isinstance(g, GraphBatch)
+            v = x.shape[0]
+            xh = (x @ w).reshape(v, self.heads, self.out_per_head)
+            out = gat_aggregate_sparse(
+                xh, g.senders, g.receivers, g.edge_mask,
+                att_dst, att_src, self.dropout, rng,
+            )
+            out = out.reshape(v, self.heads * self.out_per_head)
+        return out + b
+
+
+class GINConvLayer(nn.Module):
+    """PyG ``GINConv`` with the reference MLP
+    Linear->BN->ReLU->Linear->ReLU and fixed eps=0 (model.py:188-194)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, g, node_mask=None, use_running_average: bool = False):
+        h = gin_aggregate(x, g, eps=0.0)
+        h = TorchLinear(self.features, name="lin1")(h)
+        h = MaskedBatchNorm(name="bn")(h, node_mask, use_running_average)
+        h = jax.nn.relu(h)
+        h = TorchLinear(self.features, name="lin2")(h)
+        return jax.nn.relu(h)
+
+
+class ReadoutMLP(nn.Module):
+    """BN -> FC -> ReLU -> BN -> FC -> log_softmax (model.py:125-143).
+
+    Shared structure of the context/object/intervention readouts."""
+
+    hidden: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = False):
+        x = MaskedBatchNorm(name="bn1")(x, mask, use_running_average)
+        x = TorchLinear(self.hidden, name="fc1")(x)
+        x = jax.nn.relu(x)
+        x = MaskedBatchNorm(name="bn2")(x, mask, use_running_average)
+        x = TorchLinear(self.num_classes, name="fc2")(x)
+        return jax.nn.log_softmax(x, axis=-1)

@@ -1,0 +1,68 @@
+"""Causal/shortcut attention splits and graph pooling (layout-specific math).
+
+The causal models score every edge with an MLP over concatenated endpoint
+features and softmax over 2 channels (context/object) — reference
+model.py:97-104 — and every node likewise (model.py:106-111).  A linear layer
+on a concatenation ``[x_u ‖ x_v] @ W`` equals ``x_u @ W_src + x_v @ W_dst``,
+which in the dense layout becomes two small matmuls + a broadcast add —
+no per-edge gather.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.ops.segment import segment_sum
+
+
+def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array):
+    """Per-edge (context, object) softmax weights.
+
+    Reference model.py:97-104: ``edge_rep = cat([x[row], x[col]])`` with
+    row = sender, col = receiver (PyG edge_index order), so ``w_src``
+    multiplies sender features (first half of the reference's
+    ``edge_att_mlp.weight``) and ``w_dst`` receiver features.
+
+    Returns (edge_weight_c, edge_weight_o):
+      dense layout:  each [B, N, N] with [b, r, s] = weight of edge s -> r;
+      sparse layout: each [E].
+    """
+    if isinstance(g, DenseGraphBatch):
+        src = x @ w_src + b      # [B, N, 2]
+        dst = x @ w_dst          # [B, N, 2]
+        logits = src[:, None, :, :] + dst[:, :, None, :]  # [B, r, s, 2]
+        att = jax.nn.softmax(logits, axis=-1)
+        return att[..., 0], att[..., 1]
+    assert isinstance(g, GraphBatch)
+    logits = (
+        jnp.take(x, g.senders, axis=0) @ w_src
+        + jnp.take(x, g.receivers, axis=0) @ w_dst
+        + b
+    )  # [E, 2]
+    att = jax.nn.softmax(logits, axis=-1)
+    return att[:, 0], att[:, 1]
+
+
+def node_attention(x, w: jax.Array, b: jax.Array):
+    """Per-node (context, object) softmax weights (model.py:106-111).
+
+    Works on [..., H]; returns (node_att_c, node_att_o) shaped [...]."""
+    att = jax.nn.softmax(x @ w + b, axis=-1)
+    return att[..., 0], att[..., 1]
+
+
+def global_add_pool(x, g):
+    """Sum node features per graph (PyG global_add_pool, model.py:115-116).
+
+    dense:  x [B, N, H] -> [B, H] (mask-aware).
+    sparse: x [V, H] -> [G, H] via segment sum over ``node_graph`` (padded
+            nodes live in trash segment G and are dropped).
+    """
+    if isinstance(g, DenseGraphBatch):
+        return jnp.sum(x * g.node_mask[..., None].astype(x.dtype), axis=1)
+    assert isinstance(g, GraphBatch)
+    pooled = segment_sum(
+        x, g.node_graph, g.num_graphs + 1, indices_are_sorted=True
+    )
+    return pooled[: g.num_graphs]

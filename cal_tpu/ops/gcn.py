@@ -1,0 +1,102 @@
+"""GCN aggregation with edge weights and implicit self loops.
+
+Reproduces the reference ``GCNConv.norm`` semantics (gcn_conv.py:44-70) under
+PyG-1.1.0 ``MessagePassing`` conventions, where for an edge
+``(u, v) = (edge_index[0], edge_index[1])`` the message ``x_u`` is aggregated
+at ``v`` (flow='source_to_target': ``x_j = x[edge_index[0]]``, scatter at
+``edge_index[1]``):
+
+1. drop any self loops *and their weights* (gcn_conv.py:56);
+2. add one self loop per node with weight 1 (original self-loop weight is
+   discarded — a documented reference quirk, gcn_conv.py:57-63);
+3. ``deg[n] = sum of weights of edges with sender n`` + 1 (the self loop)
+   — note: **sender** degree (scatter over ``row = edge_index[0]``,
+   gcn_conv.py:66), which differs from receiver degree when causal/shortcut
+   attention weights are asymmetric;
+4. edge u->v contributes ``deg[u]^-1/2 * w * deg[v]^-1/2 * x_u`` at v; the
+   self loop contributes ``x_v / deg[v]``.
+
+Instead of materializing self-loop edges (dynamic edge count, XLA-hostile),
+both layouts treat the self loop analytically — identical numerics, static
+shapes.  Dense layout: one batched matmul on the MXU.  Sparse layout:
+gather + segment-sum (Pallas kernel for the hot path).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.ops.segment import segment_sum
+
+
+def gcn_aggregate_dense(
+    x: jax.Array,
+    adj: jax.Array,
+    edge_weight: jax.Array | None = None,
+) -> jax.Array:
+    """Normalized GCN aggregation, dense layout.
+
+    Args:
+      x:    [B, N, H] node features (already linearly transformed).
+      adj:  [B, N, N] adjacency counts with adj[b, r, s] = multiplicity of
+            edge s -> r (row = receiver).
+      edge_weight: optional [B, N, N] per-edge weights with
+            edge_weight[b, r, s] = weight of edge s -> r (e.g. the
+            causal/shortcut attention masks); only entries with adj>0 matter.
+
+    Returns: [B, N, H].
+    """
+    n = adj.shape[-1]
+    eye = jnp.eye(n, dtype=adj.dtype)
+    offdiag = adj * (1.0 - eye)          # remove_self_loops (gcn_conv.py:56)
+    m = offdiag if edge_weight is None else offdiag * edge_weight
+    # sender degree: sum over receivers (axis -2), +1 self loop (:59-66).
+    deg = m.sum(axis=-2) + 1.0
+    dis = jax.lax.rsqrt(deg)
+    # norm[r,s] = deg_s^-1/2 * m[r,s] * deg_r^-1/2   (gcn_conv.py:70)
+    norm = dis[..., :, None] * m * dis[..., None, :]
+    out = jnp.einsum("brs,bsh->brh", norm, x, preferred_element_type=x.dtype)
+    # self-loop term at v: deg_v^-1/2 * 1 * deg_v^-1/2 * x_v
+    return out + x / deg[..., None]
+
+
+def gcn_aggregate_sparse(
+    x: jax.Array,
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+    edge_weight: jax.Array | None = None,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    """Normalized GCN aggregation, sparse (padded edge list) layout.
+
+    Args:
+      x: [V, H]; senders/receivers/edge_mask: [E] (receiver-sorted).
+      edge_weight: optional [E], weight of edge senders[e] -> receivers[e].
+      indices_are_sorted: receivers are non-decreasing (batcher guarantees).
+    """
+    num_nodes = x.shape[0]
+    ew = jnp.ones_like(senders, dtype=x.dtype) if edge_weight is None else edge_weight
+    # mask out padding and any self loops (their weights are dropped,
+    # reference gcn_conv.py:56).
+    live = edge_mask & (senders != receivers)
+    ew = jnp.where(live, ew, 0.0)
+    # sender degree (scatter over edge_index[0], gcn_conv.py:66); sender ids
+    # are not sorted even when receivers are.
+    deg = segment_sum(ew, senders, num_nodes, indices_are_sorted=False) + 1.0
+    dis = jax.lax.rsqrt(deg)
+    norm = dis[senders] * ew * dis[receivers]
+    msg = norm[:, None] * jnp.take(x, senders, axis=0)
+    out = segment_sum(msg, receivers, num_nodes, indices_are_sorted)
+    return out + x / deg[:, None]
+
+
+def gcn_aggregate(x, g, edge_weight=None):
+    """Layout dispatch."""
+    if isinstance(g, DenseGraphBatch):
+        return gcn_aggregate_dense(x, g.adj, edge_weight)
+    assert isinstance(g, GraphBatch)
+    return gcn_aggregate_sparse(
+        x, g.senders, g.receivers, g.edge_mask, edge_weight
+    )

@@ -1,0 +1,87 @@
+"""Baseline (non-causal) synthetic training — reference train.py:35-117."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+
+from cal_tpu.data.loader import Loader, compute_budgets
+from cal_tpu.graph import HostGraph
+from cal_tpu.models.factory import get_model
+from cal_tpu.train.optim import make_optimizer
+from cal_tpu.train.steps import (
+    init_state,
+    make_baseline_eval_step,
+    make_baseline_train_step,
+)
+from cal_tpu.utils.config import Config
+
+
+def _run_epoch(train_step, state, loader, rng):
+    tot = {"loss": 0.0, "correct": 0.0, "n": 0.0}
+    for batch in loader:
+        state, m = train_step(state, batch, rng)
+        for k in tot:
+            tot[k] += float(m[k])
+    n = max(tot["n"], 1.0)
+    return state, tot["loss"] / n, tot["correct"] / n
+
+
+def _eval(eval_step, state, loader):
+    correct = n = 0.0
+    for batch in loader:
+        m = eval_step(state, batch)
+        correct += float(m["correct"])
+        n += float(m["n"])
+    return correct / max(n, 1.0)
+
+
+def train_baseline_syn(
+    train_set: Sequence[HostGraph],
+    val_set: Sequence[HostGraph],
+    test_set: Sequence[HostGraph],
+    cfg: Config,
+    verbose: bool = True,
+):
+    budgets = compute_budgets(
+        list(train_set) + list(val_set) + list(test_set), cfg.batch_size, cfg.layout
+    )
+    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                          layout=cfg.layout, budgets=budgets, seed=cfg.seed)
+    val_loader = Loader(val_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
+    test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
+
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
+                        cfg.weight_decay)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = init_state(model, tx, next(iter(train_loader)), init_rng,
+                       causal=False)
+    train_step = make_baseline_train_step(model, tx)
+    eval_step = make_baseline_eval_step(model)
+
+    best_val, upd_test, upd_ep = 0.0, 0.0, 0
+    for epoch in range(1, cfg.epochs + 1):
+        rng, e_rng = jax.random.split(rng)
+        state, loss, train_acc = _run_epoch(train_step, state, train_loader, e_rng)
+        val_acc = _eval(eval_step, state, val_loader)
+        test_acc = _eval(eval_step, state, test_loader)
+        if val_acc > best_val:
+            best_val, upd_test, upd_ep = val_acc, test_acc, epoch
+        if verbose:
+            print(
+                "BIAS:[{:.2f}] | Model:[{}] Epoch:[{}/{}] Loss:[{:.4f}] Train:[{:.2f}] "
+                "val:[{:.2f}] Test:[{:.2f}] | Best Val:[{:.2f}] Update Test:[{:.2f}] at Epoch:[{}]".format(
+                    cfg.bias, cfg.model, epoch, cfg.epochs, loss,
+                    train_acc * 100, val_acc * 100, test_acc * 100,
+                    best_val * 100, upd_test * 100, upd_ep,
+                )
+            )
+    print(
+        "syd: BIAS:[{:.2f}] | Best Val acc:[{:.2f}] Test acc:[{:.2f}] at epoch:[{}]".format(
+            cfg.bias, best_val * 100, upd_test * 100, upd_ep
+        )
+    )
+    return {"best_val_acc": best_val, "test_acc": upd_test, "epoch": upd_ep,
+            "state": state}

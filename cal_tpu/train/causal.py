@@ -1,0 +1,218 @@
+"""Causal training drivers — reference train_causal.py protocols.
+
+``train_causal_syn`` (train_causal.py:11-61): train/val/test loaders, Adam +
+per-epoch cosine LR, select test accuracies at the epoch of best val acc
+(o-branch).
+
+``train_causal_real`` (train_causal.py:63-160): k-fold (default 10,
+'test_max': val ≡ test), fresh model per fold, post-hoc epoch selection:
+co-branch epoch = argmax of mean-over-folds test acc, o-branch epoch chosen
+by its own argmax; report mean±std over folds.  Scientifically odd but it is
+what the reference numbers mean (SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from cal_tpu.data.loader import Loader, compute_budgets
+from cal_tpu.graph import HostGraph
+from cal_tpu.models.factory import get_model
+from cal_tpu.train.optim import make_optimizer
+from cal_tpu.train.steps import (
+    init_state,
+    make_causal_eval_step,
+    make_causal_train_step,
+)
+from cal_tpu.utils.config import Config
+
+
+def _run_epoch(train_step, state, loader, rng):
+    tot = {"loss": 0.0, "loss_c": 0.0, "loss_o": 0.0, "loss_co": 0.0,
+           "correct_o": 0.0, "n": 0.0}
+    for batch in loader:
+        state, m = train_step(state, batch, rng)
+        for k in tot:
+            tot[k] += float(m[k])
+    n = max(tot["n"], 1.0)
+    return state, (tot["loss"] / n, tot["loss_c"] / n, tot["loss_o"] / n,
+                   tot["loss_co"] / n, tot["correct_o"] / n)
+
+
+def _eval(eval_step, state, loader, rng):
+    tot = {"correct_co": 0.0, "correct_c": 0.0, "correct_o": 0.0, "n": 0.0}
+    for batch in loader:
+        m = eval_step(state, batch, rng)
+        for k in tot:
+            tot[k] += float(m[k])
+    n = max(tot["n"], 1.0)
+    return tot["correct_co"] / n, tot["correct_c"] / n, tot["correct_o"] / n
+
+
+def train_causal_syn(
+    train_set: Sequence[HostGraph],
+    val_set: Sequence[HostGraph],
+    test_set: Sequence[HostGraph],
+    cfg: Config,
+    verbose: bool = True,
+):
+    feature_dim = cfg.max_degree if cfg.feature_dim == -1 else cfg.feature_dim
+    del feature_dim  # carried by the batches
+    budgets = compute_budgets(
+        list(train_set) + list(val_set) + list(test_set), cfg.batch_size, cfg.layout
+    )
+    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                          layout=cfg.layout, budgets=budgets, seed=cfg.seed)
+    val_loader = Loader(val_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
+    test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
+
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
+                        cfg.weight_decay)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = init_state(model, tx, next(iter(train_loader)), init_rng)
+
+    train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
+                                        cfg.with_random)
+    eval_step = make_causal_eval_step(model, cfg.eval_random)
+
+    best_val, upd_co, upd_c, upd_o, upd_ep = 0.0, 0.0, 0.0, 0.0, 0
+    val_acc_o = 0.0
+    for epoch in range(1, cfg.epochs + 1):
+        rng, e_rng, v_rng = jax.random.split(rng, 3)
+        t0 = time.time()
+        state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
+            train_step, state, train_loader, e_rng)
+        val_co, val_c, val_acc_o = _eval(eval_step, state, val_loader, v_rng)
+        test_co, test_c, test_o = _eval(eval_step, state, test_loader, v_rng)
+        if val_acc_o > best_val:
+            best_val = val_acc_o
+            upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
+        if verbose:
+            print(
+                "BIAS:[{:.2f}] | Model:[{}] Epoch:[{}/{}] Loss:[{:.4f}={:.4f}+{:.4f}+{:.4f}] "
+                "Train:[{:.2f}] val:[{:.2f}] Test:[{:.2f}] | Update Test:[co:{:.2f},c:{:.2f},o:{:.2f}] "
+                "at Epoch:[{}] | {:.1f}s".format(
+                    cfg.bias, cfg.model, epoch, cfg.epochs, loss, loss_c,
+                    loss_o, loss_co, train_acc * 100, val_acc_o * 100,
+                    test_o * 100, upd_co * 100, upd_c * 100, upd_o * 100,
+                    upd_ep, time.time() - t0,
+                )
+            )
+    print(
+        "syd: BIAS:[{:.2f}] | Val acc:[{:.2f}] Test acc:[co:{:.2f},c:{:.2f},o:{:.2f}] at epoch:[{}]".format(
+            cfg.bias, val_acc_o * 100, upd_co * 100, upd_c * 100, upd_o * 100, upd_ep
+        )
+    )
+    return {
+        "best_val_acc": best_val,
+        "test_acc_co": upd_co,
+        "test_acc_c": upd_c,
+        "test_acc_o": upd_o,
+        "epoch": upd_ep,
+        "state": state,
+    }
+
+
+def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = True):
+    """k-fold protocol on a real (TU) dataset — train_causal.py:63-160.
+
+    ``dataset``: sequence of HostGraph."""
+    from cal_tpu.data.kfold import k_fold
+
+    graphs = list(dataset)
+    labels = np.array([g.y for g in graphs])
+    folds = cfg.folds
+    test_accs = np.zeros((folds, cfg.epochs))
+    test_accs_c = np.zeros((folds, cfg.epochs))
+    test_accs_o = np.zeros((folds, cfg.epochs))
+    train_accs = np.zeros((folds, cfg.epochs))
+    random_guess = 1.0 / num_classes
+
+    budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
+    for fold, (train_idx, test_idx, _val_idx) in enumerate(
+        zip(*k_fold(labels, folds, cfg.epoch_select))
+    ):
+        train_set = [graphs[i] for i in train_idx]
+        test_set = [graphs[i] for i in test_idx]
+        train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                              layout=cfg.layout, budgets=budgets,
+                              seed=cfg.seed + fold)
+        test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
+                             budgets=budgets)
+
+        model = get_model(cfg, 0, num_classes)
+        tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
+                            cfg.weight_decay)
+        rng = jax.random.PRNGKey(cfg.seed + fold)
+        rng, init_rng = jax.random.split(rng)
+        state = init_state(model, tx, next(iter(train_loader)), init_rng)
+        train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
+                                            cfg.with_random)
+        eval_step = make_causal_eval_step(model, cfg.eval_random)
+
+        best_test, best_ep, best_c, best_o = 0.0, 0, 0.0, 0.0
+        for epoch in range(1, cfg.epochs + 1):
+            rng, e_rng, v_rng = jax.random.split(rng, 3)
+            state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
+                train_step, state, train_loader, e_rng)
+            t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng)
+            train_accs[fold, epoch - 1] = train_acc
+            test_accs[fold, epoch - 1] = t_co
+            test_accs_c[fold, epoch - 1] = t_c
+            test_accs_o[fold, epoch - 1] = t_o
+            if t_co > best_test:
+                best_test, best_ep, best_c, best_o = t_co, epoch, t_c, t_o
+            if verbose:
+                print(
+                    "Causal | dataset:[{}] fold:[{}] | Epoch:[{}/{}] Loss:[{:.4f}={:.4f}+{:.4f}+{:.4f}] "
+                    "Train:[{:.4f}] Test:[{:.2f}] Test_o:[{:.2f}] Test_c:[{:.2f}] (RG:{:.2f}) | "
+                    "Best Test:[{:.2f}] at Epoch:[{}]".format(
+                        cfg.dataset, fold, epoch, cfg.epochs, loss, loss_c,
+                        loss_o, loss_co, train_acc * 100, t_co * 100,
+                        t_o * 100, t_c * 100, random_guess * 100,
+                        best_test * 100, best_ep,
+                    )
+                )
+        print(
+            "syd: Causal fold:[{}] | Dataset:[{}] Model:[{}] | Best Test:[{:.2f}] at epoch [{}] | "
+            "Test_o:[{:.2f}] Test_c:[{:.2f}] (RG:{:.2f})".format(
+                fold, cfg.dataset, cfg.model, best_test * 100, best_ep,
+                best_o * 100, best_c * 100, random_guess * 100,
+            )
+        )
+
+    # post-hoc epoch selection (train_causal.py:124-132)
+    sel = int(test_accs.mean(axis=0).argmax())
+    sel_o = int(test_accs_o.mean(axis=0).argmax())
+    acc = test_accs[:, sel]
+    acc_c = test_accs_c[:, sel]
+    acc_o = test_accs_o[:, sel_o]
+    result = {
+        "test_acc_mean": float(acc.mean()),
+        "test_acc_std": float(acc.std(ddof=1)) if folds > 1 else 0.0,
+        "test_acc_c_mean": float(acc_c.mean()),
+        "test_acc_c_std": float(acc_c.std(ddof=1)) if folds > 1 else 0.0,
+        "test_acc_o_mean": float(acc_o.mean()),
+        "test_acc_o_std": float(acc_o.std(ddof=1)) if folds > 1 else 0.0,
+        "train_acc_mean": float(train_accs[:, -1].mean()),
+        "selected_epoch": sel + 1,
+    }
+    print("=" * 150)
+    print(
+        "sydall Final: Causal | Dataset:[{}] Model:[{}] seed:[{}]| Test Acc: {:.2f}±{:.2f} | "
+        "OTest: {:.2f}±{:.2f}, CTest: {:.2f}±{:.2f} (RG:{:.2f}) | [Settings] co:{},c:{},o:{},harf:{},dim:{},fc:{}".format(
+            cfg.dataset, cfg.model, cfg.seed,
+            result["test_acc_mean"] * 100, result["test_acc_std"] * 100,
+            result["test_acc_o_mean"] * 100, result["test_acc_o_std"] * 100,
+            result["test_acc_c_mean"] * 100, result["test_acc_c_std"] * 100,
+            random_guess * 100, cfg.co, cfg.c, cfg.o, cfg.harf_hidden,
+            cfg.hidden, cfg.fc_num,
+        )
+    )
+    print("=" * 150)
+    return result

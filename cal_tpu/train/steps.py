@@ -1,0 +1,186 @@
+"""Jitted train/eval steps.
+
+The whole hot loop of the reference (train_causal.py:162-200: forward, three
+losses, backward, Adam) compiles to ONE XLA program per step here.  Batches
+arrive as PackedDenseBatch (dense layout; adjacency materialized on device)
+or GraphBatch (sparse layout) — both static-shape, so each loader compiles
+exactly once.
+
+Data parallelism: pass a ``jax.sharding.Mesh``-sharded batch; ``jax.jit``
+partitions the step (gradients psum over the mesh automatically).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cal_tpu.graph import PackedDenseBatch, to_dense
+from cal_tpu.train.losses import causal_losses, correct_count, nll_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _as_graph(batch):
+    return to_dense(batch) if isinstance(batch, PackedDenseBatch) else batch
+
+
+def init_state(model, tx, sample_batch, rng, causal: bool = True) -> TrainState:
+    g = _as_graph(sample_batch)
+    p_rng, i_rng, d_rng = jax.random.split(rng, 3)
+    rngs = {"params": p_rng, "intervention": i_rng, "dropout": d_rng}
+    kwargs = {"eval_random": False} if causal else {}
+    variables = model.init(rngs, g, train=False, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_causal_train_step(model, tx, c_w, o_w, co_w, with_random: bool):
+    """Returns jit fn(state, batch, rng) -> (state, metrics).
+
+    metrics = dict of per-batch sums: loss/loss_c/loss_o/loss_co (each
+    already scaled by the real-graph count, mirroring
+    ``loss.item() * num_graphs(data)`` at train_causal.py:188-191),
+    correct_o, and n (real graphs)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        g = _as_graph(batch)
+        i_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            (c_logs, o_logs, co_logs), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                g,
+                eval_random=with_random,  # train_causal.py:177
+                train=True,
+                rngs={"intervention": i_rng, "dropout": d_rng},
+                mutable=["batch_stats"],
+            )
+            total, (c_l, o_l, co_l) = causal_losses(
+                c_logs, o_logs, co_logs, g.y, g.graph_mask, c_w, o_w, co_w
+            )
+            n = g.graph_mask.sum()
+            aux = {
+                "loss": total * n,
+                "loss_c": c_l * n,
+                "loss_o": o_l * n,
+                "loss_co": co_l * n,
+                "correct_o": correct_count(o_logs, g.y, g.graph_mask),
+                "n": n,
+                "batch_stats": updates["batch_stats"],
+            }
+            return total, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=aux.pop("batch_stats"),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    return step
+
+
+def make_causal_eval_step(model, eval_random: bool):
+    """Returns jit fn(state, batch, rng) -> dict of correct counts + n.
+
+    eval_random default False (opts.py:33): the intervention is identity at
+    eval, co-branch = deterministic xc+xo (train_causal.py:202-223)."""
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        g = _as_graph(batch)
+        c_logs, o_logs, co_logs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            g,
+            eval_random=eval_random,
+            train=False,
+            rngs={"intervention": rng},
+        )
+        return {
+            "correct_co": correct_count(co_logs, g.y, g.graph_mask),
+            "correct_c": correct_count(c_logs, g.y, g.graph_mask),
+            "correct_o": correct_count(o_logs, g.y, g.graph_mask),
+            "n": g.graph_mask.sum(),
+        }
+
+    return step
+
+
+def make_baseline_train_step(model, tx):
+    """NLL training step for GCNNet/GINNet/GATNet (train.py:88-106)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        g = _as_graph(batch)
+        d_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                g,
+                train=True,
+                rngs={"dropout": d_rng},
+                mutable=["batch_stats"],
+            )
+            mask = g.graph_mask.astype(out.dtype)
+            loss = nll_loss(out, g.y, mask)
+            n = g.graph_mask.sum()
+            return loss, {
+                "loss": loss * n,
+                "correct": correct_count(out, g.y, g.graph_mask),
+                "n": n,
+                "batch_stats": updates["batch_stats"],
+            }
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=aux.pop("batch_stats"),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    return step
+
+
+def make_baseline_eval_step(model):
+    @jax.jit
+    def step(state: TrainState, batch):
+        g = _as_graph(batch)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            g,
+            train=False,
+        )
+        return {
+            "correct": correct_count(out, g.y, g.graph_mask),
+            "n": g.graph_mask.sum(),
+        }
+
+    return step
