@@ -1,0 +1,86 @@
+"""Headline benchmark: causal-training throughput (edges/s) on one chip.
+
+Workload = the reference's canonical dev loop (main_syn.py defaults:
+CausalGCN, hidden=128, layers=3, batch=128, synthetic BA/tree+motif graphs,
+SURVEY.md §3.2) — full jitted train step (forward, 3-branch loss, backward,
+Adam).  Prints ONE JSON line; ``vs_baseline`` compares against the
+reference-equivalent torch hot loop measured on this host's CPU
+(benchmarks/torch_baseline.py -> benchmarks/baseline_perf.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from cal_tpu.data.loader import Loader, compute_budgets
+from cal_tpu.data.synthetic import dataset_bias_split, generate_synthetic_dataset
+from cal_tpu.models.factory import get_model
+from cal_tpu.train.optim import make_optimizer
+from cal_tpu.train.steps import init_state, make_causal_train_step
+from cal_tpu.utils.config import Config
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_PATH = os.path.join(_HERE, "benchmarks", "baseline_perf.json")
+
+
+def main():
+    data_num = 64                      # 64*4*2 = 512 graphs, batch-size 128
+    cfg = Config(model="CausalGCN", bias=0.9, lr=0.002, min_lr=5e-6)
+    dataset = generate_synthetic_dataset(
+        data_num=data_num, node_num=cfg.node_num, max_degree=cfg.max_degree,
+        noise=cfg.noise, seed=cfg.seed,
+        cache_path=os.path.join(_HERE, "data", f"bench_syn_{data_num}.pkl"),
+    )
+    train_set, _, _ = dataset_bias_split(
+        dataset, bias=cfg.bias, total=data_num * 4, seed=cfg.seed)
+    budgets = compute_budgets(train_set, cfg.batch_size, cfg.layout)
+    loader = Loader(train_set, cfg.batch_size, shuffle=True, layout=cfg.layout,
+                    budgets=budgets, seed=cfg.seed, drop_remainder=True)
+
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(loader))
+    rng = jax.random.PRNGKey(cfg.seed)
+    batches = list(loader)
+    state = init_state(model, tx, batches[0], rng)
+    step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
+
+    # mean real (directed) edges per batch — the throughput denominator
+    edges_per_batch = float(
+        np.mean([int(np.asarray(b.edge_mask).sum()) for b in batches])
+    )
+
+    for b in batches[:2]:              # warmup/compile
+        state, m = step(state, b, rng)
+    jax.block_until_ready(m["loss"])
+
+    n_steps, t0 = 0, time.perf_counter()
+    while n_steps < 30:
+        for b in batches:
+            state, m = step(state, b, rng)
+            n_steps += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_steps / dt
+    edges_per_s = steps_per_s * edges_per_batch
+
+    baseline = None
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            baseline = json.load(f).get("train_edges_per_s")
+    vs = edges_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "causal_train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from cal_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from cal_tpu.parallel.dp import make_dp_causal_train_step, make_dp_causal_eval_step
+from cal_tpu.parallel.intervene import (
+    allgather_intervention,
+    ppermute_intervention,
+)
+from cal_tpu.parallel.edge_partition import (
+    edge_partitioned_gcn_aggregate,
+    edge_partitioned_gat_aggregate,
+    shard_edges,
+)

@@ -1,0 +1,80 @@
+"""Device mesh + batch sharding helpers.
+
+The reference (yongduosui/CAL) is strictly single-process, single-device
+(reference train.py:15, train_causal.py:10; no torch.distributed anywhere) —
+all parallelism here is new TPU-native scope (SURVEY.md §2.3).
+
+Mesh axes:
+  * ``dp``   — data parallelism: the graph dimension of a padded batch is
+    sharded; XLA inserts gradient psums and keeps masked-BatchNorm statistics
+    *global* (exact single-device numerics — a per-device-BN shard_map design
+    would silently change them).
+  * ``edge`` — edge partitioning of the batched mega-graph (the context/
+    sequence-parallel analog for GNNs): see edge_partition.py.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cal_tpu.graph import DenseGraphBatch, GraphBatch, PackedDenseBatch
+
+
+def make_mesh(dp: int | None = None, edge: int = 1, devices=None) -> Mesh:
+    """Mesh over available devices; default puts everything on ``dp``."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // edge
+    if dp * edge != n:
+        raise ValueError(f"dp({dp}) * edge({edge}) != device count ({n})")
+    arr = np.asarray(devices).reshape(dp, edge)
+    return Mesh(arr, ("dp", "edge"))
+
+
+# PartitionSpecs per batch leaf: graph-indexed leaves shard over dp; the flat
+# edge arrays of PackedDenseBatch are index lists *into* graph slots — they
+# shard over dp too (XLA routes the scatter in graph.to_dense across shards).
+_DENSE_SPECS = dict(
+    x=P("dp"), adj=P("dp"), node_mask=P("dp"), y=P("dp"), graph_mask=P("dp")
+)
+_PACKED_SPECS = dict(
+    x=P("dp"), edge_graph=P("dp"), edge_recv=P("dp"), edge_send=P("dp"),
+    edge_mask=P("dp"), node_mask=P("dp"), y=P("dp"), graph_mask=P("dp"),
+)
+# Sparse layout: nodes/edges of the disjoint union shard over dp (graph
+# boundaries don't align with shard boundaries; segment ops cross shards via
+# XLA-inserted collectives — the explicit-collective path is edge_partition.py).
+_SPARSE_SPECS = dict(
+    x=P("dp"), senders=P("dp"), receivers=P("dp"), edge_mask=P("dp"),
+    node_mask=P("dp"), node_graph=P("dp"), y=P("dp"), graph_mask=P("dp"),
+)
+
+
+def batch_pspecs(batch):
+    if isinstance(batch, DenseGraphBatch):
+        specs = _DENSE_SPECS
+    elif isinstance(batch, PackedDenseBatch):
+        specs = _PACKED_SPECS
+    elif isinstance(batch, GraphBatch):
+        specs = _SPARSE_SPECS
+    else:
+        raise TypeError(type(batch))
+    return type(batch)(**{k: v for k, v in specs.items()})
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with dp sharding over the graph dimension."""
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), batch_pspecs(batch)
+    )
+    return jax.device_put(batch, shardings)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
