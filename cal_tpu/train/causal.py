@@ -26,6 +26,7 @@ from cal_tpu.train.steps import (
     init_state,
     make_causal_eval_step,
     make_causal_train_step,
+    make_init_fn,
 )
 from cal_tpu.utils.config import Config
 
@@ -134,8 +135,24 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     random_guess = 1.0 / num_classes
 
     budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
+    # Model/optimizer/step functions are fold-independent (only params
+    # differ) — build them ONCE so every fold after the first reuses the
+    # compiled XLA programs instead of paying a full recompile.
+    model = get_model(cfg, 0, num_classes)
+    fold_indices = k_fold(labels, folds, cfg.epoch_select)
+    # cosine schedule epoch boundary: use fold 0's step count (fold sizes
+    # differ by <1 batch; the schedule is stepped per-epoch as in the
+    # reference, train_causal.py:29)
+    steps_per_epoch = -(-len(fold_indices[0][0]) // cfg.batch_size)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
+                        cfg.weight_decay)
+    train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
+                                        cfg.with_random)
+    eval_step = make_causal_eval_step(model, cfg.eval_random)
+    init_fn = make_init_fn(model, causal=True)
+
     for fold, (train_idx, test_idx, _val_idx) in enumerate(
-        zip(*k_fold(labels, folds, cfg.epoch_select))
+        zip(*fold_indices)
     ):
         train_set = [graphs[i] for i in train_idx]
         test_set = [graphs[i] for i in test_idx]
@@ -145,15 +162,10 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
         test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
                              budgets=budgets)
 
-        model = get_model(cfg, 0, num_classes)
-        tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
-                            cfg.weight_decay)
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
-        state = init_state(model, tx, next(iter(train_loader)), init_rng)
-        train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
-                                            cfg.with_random)
-        eval_step = make_causal_eval_step(model, cfg.eval_random)
+        state = init_state(model, tx, next(iter(train_loader)), init_rng,
+                           init_fn=init_fn)
 
         best_test, best_ep, best_c, best_o = 0.0, 0, 0.0, 0.0
         for epoch in range(1, cfg.epochs + 1):

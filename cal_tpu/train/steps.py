@@ -36,12 +36,29 @@ def _as_graph(batch):
     return to_dense(batch) if isinstance(batch, PackedDenseBatch) else batch
 
 
-def init_state(model, tx, sample_batch, rng, causal: bool = True) -> TrainState:
+def make_init_fn(model, causal: bool = True):
+    """Jitted variable-init, reusable across k-fold re-inits (each fresh
+    ``model.init`` call would otherwise retrace + recompile per fold)."""
+    kwargs = {"eval_random": False} if causal else {}
+
+    @jax.jit
+    def f(rngs, g):
+        return model.init(rngs, g, train=False, **kwargs)
+
+    return f
+
+
+def init_state(
+    model, tx, sample_batch, rng, causal: bool = True, init_fn=None
+) -> TrainState:
     g = _as_graph(sample_batch)
     p_rng, i_rng, d_rng = jax.random.split(rng, 3)
     rngs = {"params": p_rng, "intervention": i_rng, "dropout": d_rng}
     kwargs = {"eval_random": False} if causal else {}
-    variables = model.init(rngs, g, train=False, **kwargs)
+    if init_fn is not None:
+        variables = init_fn(rngs, g)
+    else:
+        variables = model.init(rngs, g, train=False, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
