@@ -48,17 +48,26 @@ def main():
     state = init_state(model, tx, batches[0], rng)
     step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
 
-    # mean real (directed) edges per batch — the throughput denominator
-    edges_per_batch = float(
-        np.mean([int(np.asarray(b.edge_mask).sum()) for b in batches])
+    # mean real (directed) edges per batch — the throughput denominator.
+    # NOTE: never np.asarray() the batch arrays themselves — on the tunneled
+    # TPU backend that leaves them host-committed and every later step
+    # re-uploads them (~10x slowdown, measured); reduce on device instead.
+    count = jax.jit(
+        lambda b: (b.edge_flat < b.x.shape[0] * b.x.shape[1] ** 2).sum()
     )
+    edges_per_batch = float(np.mean([float(count(b)) for b in batches]))
 
-    for b in batches[:2]:              # warmup/compile
-        state, m = step(state, b, rng)
+    # warmup: compile + let the runtime reach steady state (the first
+    # ~30 post-compile steps run slower while autotuning/caches settle)
+    n = 0
+    while n < 40:
+        for b in batches:
+            state, m = step(state, b, rng)
+            n += 1
     jax.block_until_ready(m["loss"])
 
     n_steps, t0 = 0, time.perf_counter()
-    while n_steps < 30:
+    while n_steps < 200:
         for b in batches:
             state, m = step(state, b, rng)
             n_steps += 1

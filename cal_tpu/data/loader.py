@@ -12,8 +12,11 @@ masked (the reference's dynamic last batch, handled statically).
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Iterator, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from cal_tpu.graph import (
@@ -22,8 +25,10 @@ from cal_tpu.graph import (
     PackedDenseBatch,
     batch_graphs,
     pack_dense,
+    pack_from_arrays,
     pad_sizes_for,
 )
+from cal_tpu.native import PackedDataset, get_lib
 
 
 def _round_up(v: int, m: int) -> int:
@@ -43,8 +48,18 @@ def compute_budgets(
     return {"node_budget": pad_n, "edge_budget": pad_e}
 
 
+_DONE = object()
+
+
 class Loader:
-    """Shuffling, padding, static-shape batch iterator."""
+    """Shuffling, padding, static-shape batch iterator.
+
+    Collation runs through the native C++ packer (cal_tpu/native/pack.cpp,
+    NumPy fallback) over whole-dataset concatenated arrays, and a background
+    prefetch thread overlaps host packing + H2D transfer with device compute
+    — the analog of the reference's torch DataLoader workers (which it left
+    at the num_workers=0 default, reference train_causal.py:13-15).
+    """
 
     def __init__(
         self,
@@ -55,6 +70,7 @@ class Loader:
         budgets: dict | None = None,
         seed: int = 0,
         drop_remainder: bool = False,
+        prefetch: int = 2,
     ):
         assert layout in ("dense", "sparse")
         self.graphs = list(graphs)
@@ -64,6 +80,8 @@ class Loader:
         self.budgets = budgets or compute_budgets(graphs, batch_size, layout)
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._packed: PackedDataset | None = None
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -75,18 +93,59 @@ class Loader:
     def num_graphs(self) -> int:
         return len(self.graphs)
 
-    def __iter__(self) -> Iterator:
+    @property
+    def packed(self) -> PackedDataset:
+        if self._packed is None:
+            self._packed = PackedDataset(self.graphs)
+        return self._packed
+
+    def _make_batch(self, idx: np.ndarray):
+        bs = self.batch_size
+        nb, eb = self.budgets["node_budget"], self.budgets["edge_budget"]
+        if self.layout == "dense":
+            x, edge_flat, n_nodes, y = self.packed.pack_dense(idx, bs, nb, eb)
+            return pack_from_arrays(x, edge_flat, n_nodes, y)
+        if get_lib() is not None:
+            (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
+                idx, bs, nb, eb)
+            return GraphBatch(
+                x=jnp.asarray(x), senders=jnp.asarray(s),
+                receivers=jnp.asarray(r), edge_mask=jnp.asarray(em),
+                node_mask=jnp.asarray(nm), node_graph=jnp.asarray(ng),
+                y=jnp.asarray(y), graph_mask=jnp.asarray(gm),
+            )
+        chunk = [self.graphs[j] for j in idx]
+        return batch_graphs(chunk, bs, nb, eb)
+
+    def _chunks(self):
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
-        for i in range(len(self)):
-            chunk = [self.graphs[j] for j in order[i * bs : (i + 1) * bs]]
-            if self.layout == "dense":
-                yield pack_dense(
-                    chunk, bs, self.budgets["node_budget"], self.budgets["edge_budget"]
-                )
-            else:
-                yield batch_graphs(
-                    chunk, bs, self.budgets["node_budget"], self.budgets["edge_budget"]
-                )
+        return [order[i * bs : (i + 1) * bs] for i in range(len(self))]
+
+    def __iter__(self) -> Iterator:
+        chunks = self._chunks()
+        if not self.prefetch:
+            for idx in chunks:
+                yield self._make_batch(idx)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for idx in chunks:
+                    q.put(self._make_batch(idx))
+                q.put(_DONE)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

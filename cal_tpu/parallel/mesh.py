@@ -42,8 +42,7 @@ _DENSE_SPECS = dict(
     x=P("dp"), adj=P("dp"), node_mask=P("dp"), y=P("dp"), graph_mask=P("dp")
 )
 _PACKED_SPECS = dict(
-    x=P("dp"), edge_graph=P("dp"), edge_recv=P("dp"), edge_send=P("dp"),
-    edge_mask=P("dp"), node_mask=P("dp"), y=P("dp"), graph_mask=P("dp"),
+    x=P("dp"), edge_flat=P("dp"), n_nodes=P("dp"), y=P("dp"),
 )
 # Sparse layout: nodes/edges of the disjoint union shard over dp (graph
 # boundaries don't align with shard boundaries; segment ops cross shards via

@@ -28,7 +28,9 @@ from cal_tpu.train.steps import (
     make_causal_train_step,
     make_init_fn,
 )
+from cal_tpu.utils.checkpoint import Checkpointer
 from cal_tpu.utils.config import Config
+from cal_tpu.utils.logging import MetricsLogger
 
 
 def _run_epoch(train_step, state, loader, rng):
@@ -81,6 +83,9 @@ def train_causal_syn(
                                         cfg.with_random)
     eval_step = make_causal_eval_step(model, cfg.eval_random)
 
+    metrics = MetricsLogger(cfg.metrics_path)
+    ckpt = (Checkpointer(cfg.save_dir) if cfg.save_model else None)
+
     best_val, upd_co, upd_c, upd_o, upd_ep = 0.0, 0.0, 0.0, 0.0, 0
     val_acc_o = 0.0
     for epoch in range(1, cfg.epochs + 1):
@@ -93,6 +98,15 @@ def train_causal_syn(
         if val_acc_o > best_val:
             best_val = val_acc_o
             upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
+            if ckpt is not None:
+                ckpt.save(epoch, state, {"val_acc_o": val_acc_o,
+                                         "test_acc_co": test_co})
+        metrics.log(
+            "epoch", model=cfg.model, bias=cfg.bias, epoch=epoch, loss=loss,
+            loss_c=loss_c, loss_o=loss_o, loss_co=loss_co,
+            train_acc=train_acc, val_acc_o=val_acc_o, test_acc_co=test_co,
+            test_acc_c=test_c, test_acc_o=test_o,
+        )
         if verbose:
             print(
                 "BIAS:[{:.2f}] | Model:[{}] Epoch:[{}/{}] Loss:[{:.4f}={:.4f}+{:.4f}+{:.4f}] "
@@ -109,6 +123,10 @@ def train_causal_syn(
             cfg.bias, val_acc_o * 100, upd_co * 100, upd_c * 100, upd_o * 100, upd_ep
         )
     )
+    metrics.log("final", model=cfg.model, bias=cfg.bias, best_val=best_val,
+                test_acc_co=upd_co, test_acc_c=upd_c, test_acc_o=upd_o,
+                epoch=upd_ep)
+    metrics.close()
     return {
         "best_val_acc": best_val,
         "test_acc_co": upd_co,

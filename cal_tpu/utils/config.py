@@ -70,6 +70,8 @@ class Config:
     global_pool: str = "sum"
 
     # --- TPU-framework knobs (new scope) ---
+    metrics_path: str = ""         # jsonl metrics sink ("" = off)
+    profile_dir: str = ""          # jax profiler trace dir ("" = off)
     layout: str = "dense"          # "dense" (MXU matmul path) | "sparse" (segment path)
     dtype: str = "float32"         # compute dtype for conv stack ("bfloat16" for perf)
     node_budget: int = 0           # 0 -> auto (max graph size rounded up)
