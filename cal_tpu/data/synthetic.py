@@ -151,7 +151,13 @@ def generate_synthetic_dataset(
     """dataset[context][shape] = data_num HostGraphs (utils.py:59-89)."""
     if cache_path and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
-            return pickle.load(f)
+            cached = pickle.load(f)
+        # Validate the cache actually matches the requested size — the
+        # reference loads its cache blindly (main_syn.py:19), so a run with
+        # a different --data_num would silently train on the wrong dataset.
+        if all(len(cached[c][s]) == data_num
+               for c in cached for s in cached[c]):
+            return cached
     rng = np.random.default_rng(seed)
     dataset: Dict[str, Dict[str, List[HostGraph]]] = {c: {} for c in SYN_CONTEXTS}
     for label, shape in enumerate(SYN_CLASSES):

@@ -1,0 +1,236 @@
+"""Fused flash-style GAT attention kernel (Pallas / Mosaic TPU).
+
+The XLA dense GAT path (ops/gat.py gat_aggregate_dense) materializes
+score/exp/alpha tensors of shape [B, N, N, heads] in HBM — ~1.5 ms forward
+at bench shapes (B=128, N=248, 4 heads).  This kernel processes one graph
+per grid step entirely in VMEM: scores, masked softmax (with duplicate-edge
+multiplicity and the analytic self loop), attention dropout, and the
+alpha @ xh matmuls (MXU) — one HBM read of (ti, tj, counts, xh) and one
+write of out.  ~10x less HBM traffic.
+
+Differentiation: pallas_call has no autodiff — a custom VJP recomputes
+alpha in the backward kernel from saved (rowmax, denom) [B, N, h] residuals
+(flash-attention structure).  Attention dropout replays bit-identically in
+the backward via the same per-(graph, head) PRNG seeding.
+
+Numerics match gat_aggregate_dense exactly (same masking, multiplicity, and
+self-loop treatment); parity + grad tests in tests/test_pallas_gat.py run
+the kernel in interpreter mode on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_SLOPE = 0.2
+_BIG_NEG = -1e30
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, NEG_SLOPE * x)
+
+
+def _masks(n, dtype):
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (row == col)
+
+
+def _dropout_keep(shape, rate):
+    """Keep-mask from the already-seeded kernel PRNG (uint32 threshold)."""
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(int(rate * float(2**32)))
+    return bits >= thresh
+
+
+def _fwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref,
+                o_ref, m_ref, den_ref, *, heads, d, dropout):
+    counts = counts_ref[0]
+    n = counts.shape[0]
+    eye = _masks(n, counts.dtype)
+    ceff = jnp.where(eye, 1.0, counts)          # self loop multiplicity 1
+    allowed = ceff > 0
+    ti = ti_ref[0]                              # [N, H]
+    tj = tj_ref[0]
+    b = pl.program_id(0)
+    for h in range(heads):
+        if dropout > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * heads + h)
+        pre = ti[:, h:h + 1] + tj[:, h:h + 1].T            # [N, N]
+        s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
+        mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
+        num = jnp.exp(s - mh) * ceff
+        den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
+        alpha = num / den
+        if dropout > 0.0:
+            keep = _dropout_keep((n, n), dropout)
+            alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+        xh_h = xh_ref[0][:, h * d:(h + 1) * d]
+        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
+            alpha, xh_h, preferred_element_type=jnp.float32)
+        m_ref[0, :, h:h + 1] = mh
+        den_ref[0, :, h:h + 1] = den
+
+
+def _bwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref, m_ref, den_ref,
+                g_ref, dti_ref, dtj_ref, dxh_ref, *, heads, d, dropout):
+    counts = counts_ref[0]
+    n = counts.shape[0]
+    eye = _masks(n, counts.dtype)
+    ceff = jnp.where(eye, 1.0, counts)
+    allowed = ceff > 0
+    ti = ti_ref[0]
+    tj = tj_ref[0]
+    b = pl.program_id(0)
+    for h in range(heads):
+        if dropout > 0.0:
+            pltpu.prng_seed(seed_ref[0] + b * heads + h)
+        pre = ti[:, h:h + 1] + tj[:, h:h + 1].T
+        s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
+        mh = m_ref[0, :, h:h + 1]
+        den = den_ref[0, :, h:h + 1]
+        alpha = jnp.exp(s - mh) * ceff / den               # pre-dropout
+        if dropout > 0.0:
+            keep = _dropout_keep((n, n), dropout)          # same bits as fwd
+            scale = jnp.where(keep, 1.0 / (1.0 - dropout), 0.0)
+            alpha_drop = alpha * scale
+        else:
+            scale = None
+            alpha_drop = alpha
+        xh_h = xh_ref[0][:, h * d:(h + 1) * d]
+        g_h = g_ref[0][:, h * d:(h + 1) * d]
+        # dXh from the message matmul: alpha_drop^T @ g
+        dxh_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            alpha_drop, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dAlpha_drop = g @ xh^T
+        dalpha = jax.lax.dot_general(
+            g_h, xh_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if scale is not None:
+            dalpha = dalpha * scale
+        # softmax backward (rows): dS = alpha * (dalpha - sum_s dalpha*alpha)
+        t_sum = jnp.sum(dalpha * alpha, axis=1, keepdims=True)
+        ds = alpha * (dalpha - t_sum)
+        dpre = jnp.where(allowed,
+                         jnp.where(pre >= 0, ds, NEG_SLOPE * ds), 0.0)
+        dti_ref[0, :, h:h + 1] = jnp.sum(dpre, axis=1, keepdims=True)
+        dtj_ref[0, :, h:h + 1] = jnp.sum(dpre, axis=0, keepdims=True).T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_core(ti, tj, counts, xh_flat, seed, dropout):
+    out, _, _ = _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout)
+    return out
+
+
+def _block(spec_shape):
+    return pl.BlockSpec(spec_shape, lambda b: (b,) + (0,) * (len(spec_shape) - 1),
+                        memory_space=pltpu.VMEM)
+
+
+def _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout):
+    B, n, heads = ti.shape
+    hd = xh_flat.shape[-1]
+    d = hd // heads
+    kern = functools.partial(_fwd_kernel, heads=heads, d=d, dropout=dropout)
+    out, m, den = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed (scalar [1])
+            _block((1, n, heads)),
+            _block((1, n, heads)),
+            _block((1, n, n)),
+            _block((1, n, hd)),
+        ],
+        out_specs=[
+            _block((1, n, hd)),
+            _block((1, n, heads)),
+            _block((1, n, heads)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(seed, ti, tj, counts, xh_flat)
+    return out, m, den
+
+
+def _flash_fwd(ti, tj, counts, xh_flat, seed, dropout):
+    out, m, den = _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout)
+    return out, (ti, tj, counts, xh_flat, seed, m, den)
+
+
+def _flash_bwd(dropout, res, g):
+    ti, tj, counts, xh_flat, seed, m, den = res
+    B, n, heads = ti.shape
+    hd = xh_flat.shape[-1]
+    d = hd // heads
+    kern = functools.partial(_bwd_kernel, heads=heads, d=d, dropout=dropout)
+    dti, dtj, dxh = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _block((1, n, heads)),
+            _block((1, n, heads)),
+            _block((1, n, n)),
+            _block((1, n, hd)),
+            _block((1, n, heads)),
+            _block((1, n, heads)),
+            _block((1, n, hd)),
+        ],
+        out_specs=[
+            _block((1, n, heads)),
+            _block((1, n, heads)),
+            _block((1, n, hd)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(seed, ti, tj, counts, xh_flat, m, den, g)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dti, dtj, jnp.zeros_like(counts), dxh, dseed
+
+
+_flash_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_gat_dense(
+    xh: jax.Array,
+    adj: jax.Array,
+    att_dst: jax.Array,
+    att_src: jax.Array,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Drop-in replacement for ops.gat.gat_aggregate_dense.
+
+    Args: xh [B, N, heads, d]; adj [B, N, N] (row=receiver, counts);
+    att_dst/att_src [heads, d].  Returns [B, N, heads, d].
+    """
+    B, n, heads, d = xh.shape
+    ti = jnp.einsum("bnhd,hd->bnh", xh, att_dst)
+    tj = jnp.einsum("bnhd,hd->bnh", xh, att_src)
+    xh_flat = xh.reshape(B, n, heads * d).astype(jnp.float32)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+    out = _flash_core(ti.astype(jnp.float32), tj.astype(jnp.float32),
+                      adj.astype(jnp.float32), xh_flat, seed, rate)
+    return out.reshape(B, n, heads, d)

@@ -20,7 +20,13 @@ def main():
         noise=cfg.noise,
         shape_num=cfg.shape_num,
         seed=cfg.seed,
-        cache_path=os.path.join(cfg.data_root, "syn_dataset.pkl"),
+        cache_path=os.path.join(
+            cfg.data_root,
+            "syn_dataset_n{}_nn{}_md{}_noise{}_s{}.pkl".format(
+                cfg.data_num, cfg.node_num, cfg.max_degree, cfg.noise,
+                cfg.seed,
+            ),
+        ),
     )
     train_set, val_set, test_set = dataset_bias_split(
         dataset, bias=cfg.bias, split=(7, 1, 2), total=cfg.data_num * 4,
