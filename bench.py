@@ -35,7 +35,7 @@ def main():
         noise=cfg.noise, seed=cfg.seed,
         cache_path=os.path.join(_HERE, "data", f"bench_syn_{data_num}.pkl"),
     )
-    train_set, _, _ = dataset_bias_split(
+    train_set, _, _, _ = dataset_bias_split(
         dataset, bias=cfg.bias, total=data_num * 4, seed=cfg.seed)
     budgets = compute_budgets(train_set, cfg.batch_size, cfg.layout)
     loader = Loader(train_set, cfg.batch_size, shuffle=True, layout=cfg.layout,

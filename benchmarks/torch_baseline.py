@@ -124,7 +124,7 @@ def main():
         cache_path=os.path.join(os.path.dirname(_HERE), "data",
                                 f"bench_syn_{data_num}.pkl"),
     )
-    train_set, _, _ = dataset_bias_split(
+    train_set, _, _, _ = dataset_bias_split(
         dataset, bias=cfg.bias, total=data_num * 4, seed=cfg.seed)
     bs = cfg.batch_size
     batches = [collate(train_set[i: i + bs])

@@ -195,7 +195,11 @@ def dataset_bias_split(
     va_split = total * split[1] / 10 / num_classes
     te_split = total * split[2] / 10 / num_classes
     train, val, test = [], [], []
+    edges_num = 0
     for shape in SYN_CLASSES:
+        # context-recovery threshold: mean edge count of one sample per
+        # (class, context) (utils.py:151-158 print_graph_info + `the`)
+        edges_num += tr_ds[shape][0].num_edges + ba_ds[shape][0].num_edges
         b = bias_dict[shape]
         n_tr_t, n_tr_b = int(tr_split * b), int(tr_split * (1 - b))
         n_va_t, n_va_b = int(va_split * b), int(va_split * (1 - b))
@@ -210,4 +214,74 @@ def dataset_bias_split(
     rng = np.random.default_rng(seed)
     for lst in (train, val, test):
         rng.shuffle(lst)
-    return train, val, test
+    the = float(edges_num) / (num_classes * 2)     # utils.py:158
+    return train, val, test, the
+
+
+# --------------------------------------------------------------------------
+# dataset composition report (utils.py:160-205) — context recovered post-hoc
+# by edge-count threshold `the`
+# --------------------------------------------------------------------------
+
+def print_dataset_info(train_set, val_set, test_set, the: int):
+    """Reference ``print_dataset_info``: per-split tables of class x context
+    counts, where context (tree vs ba) is inferred by comparing each graph's
+    directed edge count against threshold ``the`` (utils.py:175-205)."""
+    out = {}
+    for title, ds in (("Train", train_set), ("Val   ", val_set),
+                      ("Test  ", test_set)):
+        tr = [0] * len(SYN_CLASSES)
+        ba = [0] * len(SYN_CLASSES)
+        for g in ds:
+            (ba if g.num_edges > the else tr)[g.y] += 1
+        total = sum(tr) + sum(ba)
+        print("-" * 150)
+        print(f"{title} Total:{total}")
+        print("| Tree: House:{:<5d}, Cycle:{:<5d}, Grids:{:<5d}, Diams:{:<5d} ".format(*tr))
+        print("| BA  : House:{:<5d}, Cycle:{:<5d}, Grids:{:<5d}, Diams:{:<5d} ".format(*ba))
+        alls = [a + b for a, b in zip(tr, ba)]
+        print("| All : House:{:<5d}, Cycle:{:<5d}, Grids:{:<5d}, Diams:{:<5d} ".format(*alls))
+        bias = [100.0 * t / max(a, 1) for t, a in zip(tr, alls)]
+        print("| BIAS: House:{:.1f}%, Cycle:{:.1f}%, Grids:{:.1f}%, Diams:{:.1f}%".format(*bias))
+        print("-" * 150)
+        out[title.strip()] = np.asarray(ba + tr, np.float32)
+    return out
+
+
+# --------------------------------------------------------------------------
+# feature generators (featgen.py:14-75) — ConstFeatureGen's degree-one-hot
+# path is `degree_onehot` above; these are the remaining generators
+# --------------------------------------------------------------------------
+
+def const_features(g: nx.Graph, val: np.ndarray) -> np.ndarray:
+    """ConstFeatureGen with an explicit value vector (featgen.py:14-31)."""
+    return np.tile(np.asarray(val, np.float32), (g.number_of_nodes(), 1))
+
+
+def gaussian_features(
+    g: nx.Graph, mu: np.ndarray, sigma: np.ndarray,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """GaussianFeatureGen (featgen.py:34-48): N(mu, diag(sigma)) per node."""
+    rng = rng or np.random.default_rng()
+    sigma = np.asarray(sigma, np.float64)
+    if sigma.ndim < 2:
+        sigma = np.diag(sigma)
+    return rng.multivariate_normal(
+        np.asarray(mu, np.float64), sigma, g.number_of_nodes()
+    ).astype(np.float32)
+
+
+def grid_features(
+    g: nx.Graph, mu: float, sigma: float, com_choices,
+    rng: np.random.Generator | None = None,
+):
+    """GridFeatureGen (featgen.py:51-75): [community(deg<4 ? c0 : c1), noise]."""
+    rng = rng or np.random.default_rng()
+    nodes = list(g.nodes())
+    community = {n: (com_choices[0] if g.degree(n) < 4 else com_choices[1])
+                 for n in nodes}
+    s = rng.normal(mu, sigma, len(nodes))
+    x = np.asarray([[community[n], s[i]] for i, n in enumerate(nodes)],
+                   np.float32)
+    return x, community

@@ -4,7 +4,11 @@
 """
 import os
 
-from cal_tpu.data.synthetic import dataset_bias_split, generate_synthetic_dataset
+from cal_tpu.data.synthetic import (
+    dataset_bias_split,
+    generate_synthetic_dataset,
+    print_dataset_info,
+)
 from cal_tpu.train.baseline import train_baseline_syn
 from cal_tpu.train.causal import train_causal_syn
 from cal_tpu.utils.config import parse_args
@@ -28,11 +32,12 @@ def main():
             ),
         ),
     )
-    train_set, val_set, test_set = dataset_bias_split(
+    train_set, val_set, test_set, the = dataset_bias_split(
         dataset, bias=cfg.bias, split=(7, 1, 2), total=cfg.data_num * 4,
         num_classes=cfg.num_classes, seed=cfg.seed,
     )
     print(f"train/val/test = {len(train_set)}/{len(val_set)}/{len(test_set)}")
+    print_dataset_info(train_set, val_set, test_set, the)
     if cfg.model in ("GCN", "GIN", "GAT"):
         train_baseline_syn(train_set, val_set, test_set, cfg)
     elif cfg.model in ("CausalGCN", "CausalGIN", "CausalGAT"):

@@ -30,7 +30,7 @@ def test_generator_shapes_and_features(rng):
 
 def test_bias_split_proportions():
     ds = generate_synthetic_dataset(data_num=100, seed=1)
-    train, val, test = dataset_bias_split(ds, bias=0.9, total=400, seed=0)
+    train, val, test, _the = dataset_bias_split(ds, bias=0.9, total=400, seed=0)
     # train: 70/10/20 split, 4 balanced-ish classes (utils.py:131-150,
     # int truncation included)
     assert 276 <= len(train) <= 280

@@ -12,7 +12,7 @@ from cal_tpu.utils.config import Config
 def tiny_split():
     ds = generate_synthetic_dataset(data_num=30, node_num=4, max_degree=6,
                                     seed=5)
-    return dataset_bias_split(ds, bias=0.7, total=30 * 4, seed=0)
+    return dataset_bias_split(ds, bias=0.7, total=30 * 4, seed=0)[:3]
 
 
 def test_causal_smoke(tiny_split):
