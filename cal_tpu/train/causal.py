@@ -88,7 +88,24 @@ def train_causal_syn(
 
     best_val, upd_co, upd_c, upd_o, upd_ep = 0.0, 0.0, 0.0, 0.0, 0
     val_acc_o = 0.0
-    for epoch in range(1, cfg.epochs + 1):
+    start_epoch = 1
+    # crash recovery (new scope; reference persists nothing, SURVEY.md §5):
+    # restore the latest checkpoint + trackers and fast-forward the PRNG so
+    # the epoch stream continues deterministically.
+    if ckpt is not None and cfg.resume and ckpt.latest_step() is not None:
+        restored, meta = ckpt.restore(template=state)
+        state = jax.device_put(restored)
+        best_val = meta.get("val_acc_o", 0.0)
+        upd_co = meta.get("test_acc_co", 0.0)
+        upd_c = meta.get("test_acc_c", 0.0)
+        upd_o = meta.get("test_acc_o", 0.0)
+        upd_ep = int(meta.get("epoch", ckpt.latest_step()))
+        start_epoch = int(meta.get("epoch", ckpt.latest_step())) + 1
+        for _ in range(start_epoch - 1):
+            rng, _, _ = jax.random.split(rng, 3)
+        print(f"resumed from checkpoint at epoch {start_epoch - 1} "
+              f"(best val {best_val * 100:.2f})")
+    for epoch in range(start_epoch, cfg.epochs + 1):
         rng, e_rng, v_rng = jax.random.split(rng, 3)
         t0 = time.time()
         state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
@@ -99,8 +116,11 @@ def train_causal_syn(
             best_val = val_acc_o
             upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
             if ckpt is not None:
-                ckpt.save(epoch, state, {"val_acc_o": val_acc_o,
-                                         "test_acc_co": test_co})
+                ckpt.save(epoch, state, {
+                    "val_acc_o": val_acc_o, "test_acc_co": test_co,
+                    "test_acc_c": test_c, "test_acc_o": test_o,
+                    "epoch": epoch,
+                })
         metrics.log(
             "epoch", model=cfg.model, bias=cfg.bias, epoch=epoch, loss=loss,
             loss_c=loss_c, loss_o=loss_o, loss_co=loss_co,

@@ -41,13 +41,19 @@ class Checkpointer:
 
     # -- orbax path --------------------------------------------------------
     def save(self, step: int, state: Any, metadata: dict | None = None):
-        payload = {"state": state, "metadata": metadata or {}}
         if self._mgr is not None:
             import orbax.checkpoint as ocp
 
-            self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            self._mgr.save(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    meta=ocp.args.JsonSave(metadata or {}),
+                ),
+            )
             self._mgr.wait_until_finished()
             return
+        payload = {"state": state, "metadata": metadata or {}}
         path = os.path.join(self.directory, f"ckpt_{step}.pkl")
         with open(path, "wb") as f:
             pickle.dump(_to_host(payload), f)
@@ -55,22 +61,27 @@ class Checkpointer:
 
     def restore(self, step: int | None = None, template: Any = None):
         """Returns (state, metadata) at ``step`` (default: latest), or
-        (None, None) if nothing is saved."""
+        (None, None) if nothing is saved.  With ``template`` (a pytree of
+        the same structure, e.g. a freshly-initialized TrainState), the
+        restored state keeps the template's exact node types."""
         if self._mgr is not None:
             import orbax.checkpoint as ocp
 
             step = self.latest_step() if step is None else step
             if step is None:
                 return None, None
-            payload = self._mgr.restore(step)
-            state = payload["state"]
             if template is not None:
-                # re-impose the caller's pytree node types (orbax returns
-                # plain dicts/numpy); leaves are positionally aligned.
-                leaves = jax.tree.leaves(state)
-                state = jax.tree.unflatten(
-                    jax.tree.structure(template), leaves)
-            return state, payload.get("metadata", {})
+                args = ocp.args.Composite(
+                    state=ocp.args.StandardRestore(template),
+                    meta=ocp.args.JsonRestore(),
+                )
+            else:
+                args = ocp.args.Composite(
+                    state=ocp.args.StandardRestore(),
+                    meta=ocp.args.JsonRestore(),
+                )
+            payload = self._mgr.restore(step, args=args)
+            return payload["state"], payload["meta"] or {}
         step = self.latest_step() if step is None else step
         if step is None:
             return None, None

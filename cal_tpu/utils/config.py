@@ -70,6 +70,7 @@ class Config:
     global_pool: str = "sum"
 
     # --- TPU-framework knobs (new scope) ---
+    resume: bool = False           # resume from latest checkpoint in save_dir
     metrics_path: str = ""         # jsonl metrics sink ("" = off)
     profile_dir: str = ""          # jax profiler trace dir ("" = off)
     layout: str = "dense"          # "dense" (MXU matmul path) | "sparse" (segment path)
