@@ -17,7 +17,14 @@ from cal_tpu.graph import batch_graphs
 from cal_tpu.models.causal import CausalGNN
 from cal_tpu.train.steps import init_state  # noqa: F401  (import sanity)
 
-torch.set_default_dtype(torch.float64)  # goldens in f64, compare f32 vs f64
+@pytest.fixture(autouse=True)
+def _torch_f64_default():
+    # goldens in f64, compare f32 vs f64 — scoped so the global default
+    # doesn't leak into other test modules
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def t(a):
