@@ -11,11 +11,13 @@ masked (the reference's dynamic last batch, handled statically).
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 import queue
 import threading
 from typing import Iterator, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,17 +73,48 @@ class Loader:
         seed: int = 0,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        spmm_tiles: bool | str = False,
     ):
         assert layout in ("dense", "sparse")
+        assert spmm_tiles in (True, False, "auto")
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.layout = layout
-        self.budgets = budgets or compute_budgets(graphs, batch_size, layout)
+        self.budgets = dict(
+            budgets or compute_budgets(graphs, batch_size, layout))
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._packed: PackedDataset | None = None
+        if spmm_tiles == "auto":
+            # The tiled kernel wins in the large-graph regime (measured
+            # 1.64x at V=8192/E=131072, benchmarks/sweep_spmm.py) but its
+            # fixed per-tile MXU cost loses on small batches, where XLA's
+            # segment ops are already cheap.
+            spmm_tiles = self.budgets["node_budget"] >= 2048
+        self.spmm_tiles = bool(spmm_tiles) and layout == "sparse"
+        if self.spmm_tiles:
+            # Block-COO plans need the node budget on a node-block boundary
+            # and a static tile budget so no batch ever recompiles.
+            from cal_tpu.ops import pallas_spmm as _ps
+
+            self._node_block = _ps.NODE_BLOCK
+            self._tile_edges = _ps.TILE_EDGES
+            self.budgets["node_budget"] = _round_up(
+                self.budgets["node_budget"], self._node_block)
+            self._tile_budget = _ps.tile_budget_for(
+                self.budgets["edge_budget"], self.budgets["node_budget"],
+                self._node_block, self._tile_edges)
+
+    def _build_tiles(self, senders: np.ndarray, receivers: np.ndarray):
+        from cal_tpu.ops import pallas_spmm as _ps
+
+        nb = self.budgets["node_budget"]
+        kw = dict(node_block=self._node_block, tile_edges=self._tile_edges,
+                  tile_budget=self._tile_budget)
+        return (_ps.build_tiles(senders, receivers, nb, **kw),
+                _ps.build_tiles(receivers, senders, nb, **kw))
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -108,14 +141,20 @@ class Loader:
         if get_lib() is not None:
             (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
                 idx, bs, nb, eb)
+            tiles = self._build_tiles(s, r) if self.spmm_tiles else None
             return GraphBatch(
                 x=jnp.asarray(x), senders=jnp.asarray(s),
                 receivers=jnp.asarray(r), edge_mask=jnp.asarray(em),
                 node_mask=jnp.asarray(nm), node_graph=jnp.asarray(ng),
-                y=jnp.asarray(y), graph_mask=jnp.asarray(gm),
+                y=jnp.asarray(y), graph_mask=jnp.asarray(gm), tiles=tiles,
             )
         chunk = [self.graphs[j] for j in idx]
-        return batch_graphs(chunk, bs, nb, eb)
+        batch = batch_graphs(chunk, bs, nb, eb)
+        if self.spmm_tiles:
+            tiles = self._build_tiles(jax.device_get(batch.senders),
+                                      jax.device_get(batch.receivers))
+            batch = dataclasses.replace(batch, tiles=tiles)
+        return batch
 
     def _chunks(self):
         order = np.arange(len(self.graphs))

@@ -38,6 +38,10 @@ class GraphBatch:
       node_graph: [num_nodes] int32  graph id per node; padded nodes -> G.
       y:          [num_graphs] int32 labels (padded slots are 0).
       graph_mask: [num_graphs] bool  True for real graphs (contiguous prefix).
+      tiles:      optional (tiles_fwd, tiles_bwd) block-COO plans
+                  (ops/pallas_spmm.py SpmmTiles) — present when the loader
+                  was built with ``spmm_tiles=True``; convs then route the
+                  gather/scatter through the tiled Pallas kernel.
     """
 
     x: jax.Array
@@ -48,6 +52,7 @@ class GraphBatch:
     node_graph: jax.Array
     y: jax.Array
     graph_mask: jax.Array
+    tiles: tuple | None = None
 
     @property
     def num_nodes(self) -> int:

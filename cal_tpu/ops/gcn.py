@@ -93,10 +93,18 @@ def gcn_aggregate_sparse(
 
 
 def gcn_aggregate(x, g, edge_weight=None):
-    """Layout dispatch."""
+    """Layout dispatch (dense MXU / Pallas block-COO tiles / XLA segment)."""
     if isinstance(g, DenseGraphBatch):
         return gcn_aggregate_dense(x, g.adj, edge_weight)
     assert isinstance(g, GraphBatch)
+    if g.tiles is not None:
+        from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_pallas
+
+        tf, tb = g.tiles
+        return gcn_aggregate_sparse_pallas(
+            x, g.senders, g.receivers, g.edge_mask, tf, tb, edge_weight,
+            node_block=tf.node_block,
+        )
     return gcn_aggregate_sparse(
         x, g.senders, g.receivers, g.edge_mask, edge_weight
     )

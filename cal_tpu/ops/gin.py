@@ -21,6 +21,17 @@ def gin_aggregate(x: jax.Array, g, eps: float = 0.0) -> jax.Array:
         agg = jnp.einsum("brs,bsh->brh", g.adj, x, preferred_element_type=x.dtype)
         return (1.0 + eps) * x + agg
     assert isinstance(g, GraphBatch)
+    if g.tiles is not None:
+        from cal_tpu.ops.pallas_spmm import coo_spmm
+
+        tf, tb = g.tiles
+        # GIN keeps self edges as ordinary edges (no loop manipulation),
+        # so the coefficient is just the padding mask.
+        coef = g.edge_mask.astype(x.dtype)
+        coef_ext = jnp.concatenate([coef, jnp.zeros((1,), x.dtype)])
+        agg = coo_spmm(x.astype(jnp.float32), coef_ext, tf, tb,
+                       tf.node_block)
+        return (1.0 + eps) * x + agg
     msg = jnp.where(
         g.edge_mask[:, None], jnp.take(x, g.senders, axis=0), 0.0
     )

@@ -71,6 +71,7 @@ class SpmmTiles:
       rloc:  [n_tiles, T] int32  receiver index local to block iblk.
       perm:  [n_tiles, T] int32  edge id of each slot; padding slots = E
                               (index of the appended zero in coef_ext).
+      node_block: static — the node-block size this plan was built for.
     """
 
     iblk: jax.Array
@@ -79,6 +80,8 @@ class SpmmTiles:
     sloc: jax.Array
     rloc: jax.Array
     perm: jax.Array
+    node_block: int = dataclasses.field(
+        metadata=dict(static=True), default=NODE_BLOCK)
 
 
 def build_tiles(
@@ -147,6 +150,7 @@ def build_tiles(
         sloc=jnp.asarray(np.stack(sloc)),
         rloc=jnp.asarray(np.stack(rloc)),
         perm=jnp.asarray(np.stack(perm)),
+        node_block=node_block,
     )
 
 

@@ -66,7 +66,15 @@ def batch_pspecs(batch):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with dp sharding over the graph dimension."""
+    """Device-put a host batch with dp sharding over the graph dimension.
+
+    Block-COO tile plans (GraphBatch.tiles) index the *global* node space —
+    they don't survive dp sharding, so the dp path strips them and the convs
+    fall back to XLA segment ops (disable spmm_tiles in dp loaders)."""
+    if isinstance(batch, GraphBatch) and batch.tiles is not None:
+        import dataclasses
+
+        batch = dataclasses.replace(batch, tiles=None)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), batch_pspecs(batch)
     )

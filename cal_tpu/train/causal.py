@@ -68,9 +68,12 @@ def train_causal_syn(
         list(train_set) + list(val_set) + list(test_set), cfg.batch_size, cfg.layout
     )
     train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
-                          layout=cfg.layout, budgets=budgets, seed=cfg.seed)
-    val_loader = Loader(val_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
-    test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout, budgets=budgets)
+                          layout=cfg.layout, budgets=budgets, seed=cfg.seed,
+                          spmm_tiles="auto" if cfg.use_pallas else False)
+    val_loader = Loader(val_set, cfg.batch_size, layout=cfg.layout, budgets=budgets,
+                        spmm_tiles="auto" if cfg.use_pallas else False)
+    test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout, budgets=budgets,
+                         spmm_tiles="auto" if cfg.use_pallas else False)
 
     model = get_model(cfg, 0, cfg.num_classes)
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
@@ -196,9 +199,10 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
         test_set = [graphs[i] for i in test_idx]
         train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
                               layout=cfg.layout, budgets=budgets,
-                              seed=cfg.seed + fold)
+                              seed=cfg.seed + fold,
+                              spmm_tiles="auto" if cfg.use_pallas else False)
         test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
-                             budgets=budgets)
+                             budgets=budgets, spmm_tiles="auto" if cfg.use_pallas else False)
 
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
