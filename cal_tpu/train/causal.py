@@ -86,7 +86,7 @@ def train_causal_syn(
                                         cfg.with_random)
     eval_step = make_causal_eval_step(model, cfg.eval_random)
 
-    metrics = MetricsLogger(cfg.metrics_path)
+    metrics = MetricsLogger(cfg.metrics_path, cfg.tb_dir)
     ckpt = (Checkpointer(cfg.save_dir) if cfg.save_model else None)
 
     best_val, upd_co, upd_c, upd_o, upd_ep = 0.0, 0.0, 0.0, 0.0, 0

@@ -72,6 +72,7 @@ class Config:
     # --- TPU-framework knobs (new scope) ---
     resume: bool = False           # resume from latest checkpoint in save_dir
     metrics_path: str = ""         # jsonl metrics sink ("" = off)
+    tb_dir: str = ""               # TensorBoard log dir ("" = off)
     profile_dir: str = ""          # jax profiler trace dir ("" = off)
     layout: str = "dense"          # "dense" (MXU matmul path) | "sparse" (segment path)
     dtype: str = "float32"         # compute dtype for conv stack ("bfloat16" for perf)

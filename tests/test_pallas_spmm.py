@@ -187,3 +187,25 @@ def test_model_with_tiled_loader_matches_plain(name, graphs):
         # outputs must agree
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_bf16_precision_close(rng):
+    x, senders, receivers, edge_mask, w = _workload(rng)
+    V = x.shape[0]
+    ref = gcn_aggregate_sparse(x, senders, receivers, edge_mask, w)
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T, precision="bf16")
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T, precision="bf16")
+    out = gcn_aggregate_sparse_pallas(x, senders, receivers, edge_mask,
+                                      tf, tb, w, node_block=NB)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+    # and grads still flow
+    g = jax.grad(lambda xx: (gcn_aggregate_sparse_pallas(
+        xx, senders, receivers, edge_mask, tf, tb, w,
+        node_block=NB) ** 2).sum())(x)
+    gr = jax.grad(lambda xx: (gcn_aggregate_sparse(
+        xx, senders, receivers, edge_mask, w) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=5e-2, atol=5e-2)

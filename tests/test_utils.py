@@ -57,3 +57,17 @@ def test_step_timer():
         t.mark()
     assert t.mean_step_s >= 0.0
     assert t.throughput(100) > 0
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """TB mirror writes event files and survives non-scalar fields."""
+    from cal_tpu.utils.logging import MetricsLogger
+
+    m = MetricsLogger(path=str(tmp_path / "m.jsonl"), tb_dir=str(tmp_path / "tb"))
+    m.log("epoch", epoch=1, loss=0.5, acc=0.9, note="skip-me")
+    m.log("epoch", epoch=2, loss=0.4, acc=0.95)
+    m.close()
+    import os
+    files = os.listdir(tmp_path / "tb")
+    assert any(f.startswith("events") for f in files)
+    assert (tmp_path / "m.jsonl").read_text().count("\n") == 2
