@@ -1,14 +1,38 @@
-"""Real-data (TU) entry point — reference main_real.py.
+"""Real-data entry point — reference main_real.py (TU datasets), extended
+with OGB graph-property datasets (new scale-out scope, SURVEY.md §7 step 9).
 
     python main_real.py --model CausalGAT --dataset MUTAG
+    python main_real.py --model CausalGAT --dataset ogbg-molhiv --layout sparse
+
+TU datasets run the reference's 10-fold "test_max" protocol; OGB datasets
+use their official train/valid/test split with best-val selection.
 """
+import numpy as np
+
 from cal_tpu.data.datasets import create_n_filter_triples, get_dataset
-from cal_tpu.train.causal import train_causal_real
+from cal_tpu.train.causal import train_causal_real, train_causal_syn
 from cal_tpu.utils.config import parse_args
 
 
 def main():
     cfg = parse_args()
+    if cfg.dataset.replace("_", "-").startswith("ogbg-"):
+        from cal_tpu.data.ogb import get_ogb_dataset
+
+        graphs, split = get_ogb_dataset(cfg.dataset, root=cfg.data_root,
+                                        symmetrize=False)
+        num_classes = int(max(g.y for g in graphs)) + 1
+        print(f"{cfg.dataset}: {len(graphs)} graphs, "
+              f"{graphs[0].x.shape[1]} features, {num_classes} classes")
+        train = [graphs[i] for i in split["train"]]
+        val = [graphs[i] for i in split["valid"]]
+        test = [graphs[i] for i in split["test"]]
+        out = train_causal_syn(train, val, test, cfg)
+        print(f"sydall: {cfg.dataset} val:[{100 * out['best_val_acc']:.2f}] "
+              f"test:[co:{100 * out['test_acc_co']:.2f},"
+              f"c:{100 * out['test_acc_c']:.2f},"
+              f"o:{100 * out['test_acc_o']:.2f}] at epoch:[{out['epoch']}]")
+        return
     triples = create_n_filter_triples([cfg.dataset])
     for dataset_name, feat_str, _net in triples:
         dataset = get_dataset(dataset_name, feat_str=feat_str, root=cfg.data_root)
