@@ -20,7 +20,8 @@ from cal_tpu.data.loader import Loader, compute_budgets
 from cal_tpu.data.synthetic import dataset_bias_split, generate_synthetic_dataset
 from cal_tpu.models.factory import get_model
 from cal_tpu.train.optim import make_optimizer
-from cal_tpu.train.steps import init_state, make_causal_train_step
+from cal_tpu.train.steps import (
+    init_state, make_causal_train_epoch, stack_batches)
 from cal_tpu.utils.config import Config
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -46,7 +47,11 @@ def main():
     rng = jax.random.PRNGKey(cfg.seed)
     batches = list(loader)
     state = init_state(model, tx, batches[0], rng)
-    step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
+    # production path: device-side epoch loop (train/steps.py
+    # make_causal_train_epoch) — one dispatch per epoch, not per step
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    stacked = stack_batches(batches)
+    n_batches = len(batches)
 
     # mean real (directed) edges per batch — the throughput denominator.
     # NOTE: never np.asarray() the batch arrays themselves — on the tunneled
@@ -57,21 +62,23 @@ def main():
     )
     edges_per_batch = float(np.mean([float(count(b)) for b in batches]))
 
-    # warmup: compile + let the runtime reach steady state (the first
-    # ~30 post-compile steps run slower while autotuning/caches settle)
+    # warmup: compile + let the runtime reach steady state.  Iterations
+    # chain through `state`, so the device must execute serially; the final
+    # host fetch of the loss forces completion (block_until_ready alone is
+    # NOT sufficient on the tunneled backend — see benchmarks/sweep_spmm.py).
     n = 0
     while n < 40:
-        for b in batches:
-            state, m = step(state, b, rng)
-            n += 1
-    jax.block_until_ready(m["loss"])
+        state, m = epoch_fn(state, stacked, rng)
+        n += n_batches
+    _ = float(m["loss"])
 
+    # timed region: epochs chain through `state` (serial by construction);
+    # ONE host fetch at the end — any mid-loop fetch stalls the pipeline.
     n_steps, t0 = 0, time.perf_counter()
-    while n_steps < 200:
-        for b in batches:
-            state, m = step(state, b, rng)
-            n_steps += 1
-    jax.block_until_ready(m["loss"])
+    while n_steps < 400:
+        state, m = epoch_fn(state, stacked, rng)
+        n_steps += n_batches
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
 
     steps_per_s = n_steps / dt

@@ -6,8 +6,13 @@ global_add_pool -> (num_fc_layers - 1) x (BN -> FC -> ReLU) -> BN ->
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
+
+from cal_tpu.graph import DenseGraphBatch
 
 from cal_tpu.nn.layers import (
     GATConvLayer,
@@ -27,21 +32,25 @@ class BaselineGNN(nn.Module):
     num_fc_layers: int = 2
     heads: int = 4
     dropout: float = 0.0            # GATNet uses 0.2 (model.py:580,630-631)
+    dtype: jnp.dtype = jnp.float32  # compute dtype (see CausalGNN.dtype)
 
     @nn.compact
     def __call__(self, g, train: bool = False):
         ura = not train
-        x = g.x
+        if isinstance(g, DenseGraphBatch) and self.dtype != jnp.float32:
+            g = dataclasses.replace(
+                g, x=g.x.astype(self.dtype), adj=g.adj.astype(self.dtype))
+        x = g.x.astype(self.dtype)
         node_mask = g.node_mask
 
         x = MaskedBatchNorm(name="bn_feat")(x, node_mask, ura)
-        x = jax.nn.relu(GCNConvLayer(self.hidden, gfn=True, name="conv_feat")(x))
+        x = jax.nn.relu(GCNConvLayer(self.hidden, gfn=True, name="conv_feat", dtype=self.dtype)(x))
         for i in range(self.num_layers):
             if self.backbone == "gcn":
                 x = MaskedBatchNorm(name=f"bns_conv_{i}")(x, node_mask, ura)
-                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}")(x, g))
+                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(x, g))
             elif self.backbone == "gin":
-                x = GINConvLayer(self.hidden, name=f"convs_{i}")(
+                x = GINConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(
                     x, g, node_mask, ura
                 )
             elif self.backbone == "gat":
@@ -49,6 +58,7 @@ class BaselineGNN(nn.Module):
                 x = jax.nn.relu(
                     GATConvLayer(
                         self.hidden // self.heads,
+                        dtype=self.dtype,
                         heads=self.heads,
                         dropout=self.dropout,
                         name=f"convs_{i}",

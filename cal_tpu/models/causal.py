@@ -26,6 +26,8 @@ Under data parallelism this becomes a cross-device permute
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -63,24 +65,31 @@ class CausalGNN(nn.Module):
     without_edge_attention: bool = False
     heads: int = 4
     gat_dropout: float = 0.2
+    dtype: jnp.dtype = jnp.float32   # compute dtype for the conv stack
+                                     # (bf16 halves the HBM-bound traffic;
+                                     # BN stats / pooling / readouts stay f32)
 
     @nn.compact
     def __call__(self, g, eval_random: bool = True, train: bool = False):
         """Returns (c_log_probs, o_log_probs, co_log_probs), each [G, C]."""
         ura = not train  # BN use_running_average
         dense = isinstance(g, DenseGraphBatch)
-        x = g.x
+        if dense and self.dtype != jnp.float32:
+            # one cast pass; every [B,N,N]/[B,N,H] read downstream is halved
+            g = dataclasses.replace(
+                g, x=g.x.astype(self.dtype), adj=g.adj.astype(self.dtype))
+        x = g.x.astype(self.dtype)
         node_mask = g.node_mask
 
         # --- backbone (model.py:90-95 / 239-243 / 385-390) ---
         x = MaskedBatchNorm(name="bn_feat")(x, node_mask, ura)
-        x = jax.nn.relu(GCNConvLayer(self.hidden, gfn=True, name="conv_feat")(x))
+        x = jax.nn.relu(GCNConvLayer(self.hidden, gfn=True, name="conv_feat", dtype=self.dtype)(x))
         for i in range(self.num_layers):
             if self.backbone == "gcn":
                 x = MaskedBatchNorm(name=f"bns_conv_{i}")(x, node_mask, ura)
-                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}")(x, g))
+                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(x, g))
             elif self.backbone == "gin":
-                x = GINConvLayer(self.hidden, name=f"convs_{i}")(
+                x = GINConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(
                     x, g, node_mask, ura
                 )
             elif self.backbone == "gat":
@@ -91,6 +100,7 @@ class CausalGNN(nn.Module):
                         heads=self.heads,
                         dropout=self.gat_dropout,
                         name=f"convs_{i}",
+                        dtype=self.dtype,
                     )(x, g, deterministic=not train)
                 )
             else:
@@ -157,8 +167,8 @@ class CausalGNN(nn.Module):
         # backbones, incl. CausalGAT — model.py:346-347) ---
         xc = MaskedBatchNorm(name="bnc")(xc, node_mask, ura)
         xo = MaskedBatchNorm(name="bno")(xo, node_mask, ura)
-        xc = jax.nn.relu(GCNConvLayer(self.hidden, name="context_convs")(xc, g, w_c))
-        xo = jax.nn.relu(GCNConvLayer(self.hidden, name="objects_convs")(xo, g, w_o))
+        xc = jax.nn.relu(GCNConvLayer(self.hidden, name="context_convs", dtype=self.dtype)(xc, g, w_c))
+        xo = jax.nn.relu(GCNConvLayer(self.hidden, name="objects_convs", dtype=self.dtype)(xo, g, w_o))
 
         # --- readout (model.py:115-122) ---
         xc = global_add_pool(xc, g)

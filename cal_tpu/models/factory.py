@@ -1,6 +1,8 @@
 """Model factory — reference ``opts.get_model`` (opts.py:85-119)."""
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from cal_tpu.models.baselines import BaselineGNN
 from cal_tpu.models.causal import CausalGNN
 from cal_tpu.utils.config import Config
@@ -13,6 +15,8 @@ def get_model(cfg: Config, num_features: int, num_classes: int):
     """Build the model named by cfg.model (num_features is carried by the
     batch, so only num_classes is needed here)."""
     del num_features
+    dtype = (jnp.bfloat16 if cfg.dtype in ("bfloat16", "bf16")
+             else jnp.float32)
     if cfg.model in _BASELINES:
         bb = _BASELINES[cfg.model]
         return BaselineGNN(
@@ -21,6 +25,7 @@ def get_model(cfg: Config, num_features: int, num_classes: int):
             num_classes=num_classes,
             num_layers=cfg.layers,
             dropout=0.2 if bb == "gat" else 0.0,
+            dtype=dtype,
         )
     if cfg.model in _CAUSAL:
         return CausalGNN(
@@ -32,5 +37,6 @@ def get_model(cfg: Config, num_features: int, num_classes: int):
             with_random=cfg.with_random,
             without_node_attention=cfg.without_node_attention,
             without_edge_attention=cfg.without_edge_attention,
+            dtype=dtype,
         )
     raise ValueError(f"unknown model {cfg.model!r}")

@@ -42,20 +42,25 @@ def glorot_init(fan_in: int, fan_out: int):
 
 
 class TorchLinear(nn.Module):
-    """nn.Linear with torch default init (used for att MLPs & readout FCs)."""
+    """nn.Linear with torch default init (used for att MLPs & readout FCs).
+
+    ``dtype`` is the compute/output dtype (params stay f32; matmuls always
+    accumulate f32 on the MXU via preferred_element_type)."""
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         w = self.param("kernel", torch_linear_init(fan_in), (fan_in, self.features))
-        y = x @ w
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", torch_linear_init(fan_in), (self.features,))
             y = y + b
-        return y
+        return y.astype(self.dtype)
 
 
 class GlorotLinear(nn.Module):
@@ -63,6 +68,7 @@ class GlorotLinear(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -70,11 +76,12 @@ class GlorotLinear(nn.Module):
         w = self.param(
             "kernel", glorot_init(fan_in, self.features), (fan_in, self.features)
         )
-        y = x @ w
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b
-        return y
+        return y.astype(self.dtype)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -91,6 +98,10 @@ class MaskedBatchNorm(nn.Module):
         mask: Optional[jax.Array] = None,
         use_running_average: bool = False,
     ) -> jax.Array:
+        # statistics are always f32 (bf16 sums across thousands of rows
+        # would corrupt them); output returns in the input dtype.
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param(
@@ -126,7 +137,7 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
 
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class GCNConvLayer(nn.Module):
@@ -136,6 +147,7 @@ class GCNConvLayer(nn.Module):
     features: int
     gfn: bool = False
     edge_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, g=None, edge_weight=None):
@@ -144,7 +156,9 @@ class GCNConvLayer(nn.Module):
             "kernel", glorot_init(fan_in, self.features), (fan_in, self.features)
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        x = x @ w
+        x = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        b = b.astype(self.dtype)
         if self.gfn:
             return x  # bias NOT added in gfn mode (gcn_conv.py:76-77 returns early)
         if self.edge_norm:
@@ -162,9 +176,11 @@ class GATConvLayer(nn.Module):
     out_per_head: int
     heads: int = 4
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, g, deterministic: bool = True):
+        x = x.astype(self.dtype)
         fan_in = x.shape[-1]
         w = self.param(
             "kernel",
@@ -179,6 +195,9 @@ class GATConvLayer(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.heads * self.out_per_head,)
         )
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype)
+        att = att.astype(self.dtype)
         att_dst = att[:, : self.out_per_head]   # multiplies x_i (receiver)
         att_src = att[:, self.out_per_head :]   # multiplies x_j (sender)
         rng = None
@@ -208,14 +227,15 @@ class GINConvLayer(nn.Module):
     Linear->BN->ReLU->Linear->ReLU and fixed eps=0 (model.py:188-194)."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, g, node_mask=None, use_running_average: bool = False):
-        h = gin_aggregate(x, g, eps=0.0)
-        h = TorchLinear(self.features, name="lin1")(h)
+        h = gin_aggregate(x.astype(self.dtype), g, eps=0.0)
+        h = TorchLinear(self.features, name="lin1", dtype=self.dtype)(h)
         h = MaskedBatchNorm(name="bn")(h, node_mask, use_running_average)
         h = jax.nn.relu(h)
-        h = TorchLinear(self.features, name="lin2")(h)
+        h = TorchLinear(self.features, name="lin2", dtype=self.dtype)(h)
         return jax.nn.relu(h)
 
 

@@ -28,6 +28,8 @@ def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array):
       dense layout:  each [B, N, N] with [b, r, s] = weight of edge s -> r;
       sparse layout: each [E].
     """
+    w_src, w_dst, b = (w_src.astype(x.dtype), w_dst.astype(x.dtype),
+                       b.astype(x.dtype))
     if isinstance(g, DenseGraphBatch):
         # softmax over the 2 channels == sigmoid of the channel difference —
         # identical numerics but materializes ONE [B, N, N] tensor instead of
@@ -51,7 +53,7 @@ def node_attention(x, w: jax.Array, b: jax.Array):
     """Per-node (context, object) softmax weights (model.py:106-111).
 
     Works on [..., H]; returns (node_att_c, node_att_o) shaped [...]."""
-    att = jax.nn.softmax(x @ w + b, axis=-1)
+    att = jax.nn.softmax(x @ w.astype(x.dtype) + b.astype(x.dtype), axis=-1)
     return att[..., 0], att[..., 1]
 
 
@@ -62,10 +64,14 @@ def global_add_pool(x, g):
     sparse: x [V, H] -> [G, H] via segment sum over ``node_graph`` (padded
             nodes live in trash segment G and are dropped).
     """
+    # pooling always accumulates and returns f32 — the readout head runs in
+    # full precision even in mixed-precision mode.
     if isinstance(g, DenseGraphBatch):
-        return jnp.sum(x * g.node_mask[..., None].astype(x.dtype), axis=1)
+        return jnp.sum(x * g.node_mask[..., None].astype(x.dtype), axis=1,
+                       dtype=jnp.float32)
     assert isinstance(g, GraphBatch)
     pooled = segment_sum(
-        x, g.node_graph, g.num_graphs + 1, indices_are_sorted=True
+        x.astype(jnp.float32), g.node_graph, g.num_graphs + 1,
+        indices_are_sorted=True
     )
     return pooled[: g.num_graphs]

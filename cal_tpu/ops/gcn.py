@@ -50,15 +50,19 @@ def gcn_aggregate_dense(
     n = adj.shape[-1]
     eye = jnp.eye(n, dtype=adj.dtype)
     offdiag = adj * (1.0 - eye)          # remove_self_loops (gcn_conv.py:56)
-    m = offdiag if edge_weight is None else offdiag * edge_weight
+    m = offdiag if edge_weight is None else offdiag * edge_weight.astype(adj.dtype)
     # sender degree: sum over receivers (axis -2), +1 self loop (:59-66).
-    deg = m.sum(axis=-2) + 1.0
-    dis = jax.lax.rsqrt(deg)
+    # Degree reduction always accumulates f32 (exact for bf16 count adj).
+    deg = m.sum(axis=-2, dtype=jnp.float32) + 1.0
+    dis = jax.lax.rsqrt(deg).astype(m.dtype)  # keep norm in the adj dtype
     # norm[r,s] = deg_s^-1/2 * m[r,s] * deg_r^-1/2   (gcn_conv.py:70)
     norm = dis[..., :, None] * m * dis[..., None, :]
-    out = jnp.einsum("brs,bsh->brh", norm, x, preferred_element_type=x.dtype)
+    # MXU accumulates f32 regardless of storage dtype; cast fuses into the
+    # einsum epilogue (mixed-precision mode: norm/x bf16 halve HBM traffic).
+    out = jnp.einsum("brs,bsh->brh", norm, x,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     # self-loop term at v: deg_v^-1/2 * 1 * deg_v^-1/2 * x_v
-    return out + x / deg[..., None]
+    return out + x / deg[..., None].astype(x.dtype)
 
 
 def gcn_aggregate_sparse(

@@ -18,7 +18,8 @@ from cal_tpu.ops.segment import segment_sum
 def gin_aggregate(x: jax.Array, g, eps: float = 0.0) -> jax.Array:
     """(1+eps)*x + neighbor sum, either layout."""
     if isinstance(g, DenseGraphBatch):
-        agg = jnp.einsum("brs,bsh->brh", g.adj, x, preferred_element_type=x.dtype)
+        agg = jnp.einsum("brs,bsh->brh", g.adj.astype(x.dtype), x,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         return (1.0 + eps) * x + agg
     assert isinstance(g, GraphBatch)
     if g.tiles is not None:

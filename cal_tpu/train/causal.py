@@ -25,8 +25,10 @@ from cal_tpu.train.optim import make_optimizer
 from cal_tpu.train.steps import (
     init_state,
     make_causal_eval_step,
+    make_causal_train_epoch,
     make_causal_train_step,
     make_init_fn,
+    stack_batches,
 )
 from cal_tpu.utils.checkpoint import Checkpointer
 from cal_tpu.utils.config import Config
@@ -43,6 +45,19 @@ def _run_epoch(train_step, state, loader, rng):
     n = max(tot["n"], 1.0)
     return state, (tot["loss"] / n, tot["loss_c"] / n, tot["loss_o"] / n,
                    tot["loss_co"] / n, tot["correct_o"] / n)
+
+
+def _run_epoch_scan(epoch_fn, state, loader, rng):
+    """Device-side epoch: one dispatch for the whole epoch (steps.py
+    make_causal_train_epoch).  Identical numerics to _run_epoch."""
+    batches = list(loader)
+    if not batches:
+        return state, (0.0, 0.0, 0.0, 0.0, 0.0)
+    state, m = epoch_fn(state, stack_batches(batches), rng)
+    n = max(float(m["n"]), 1.0)
+    return state, (float(m["loss"]) / n, float(m["loss_c"]) / n,
+                   float(m["loss_o"]) / n, float(m["loss_co"]) / n,
+                   float(m["correct_o"]) / n)
 
 
 def _eval(eval_step, state, loader, rng):
@@ -82,8 +97,12 @@ def train_causal_syn(
     rng, init_rng = jax.random.split(rng)
     state = init_state(model, tx, next(iter(train_loader)), init_rng)
 
-    train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
-                                        cfg.with_random)
+    if cfg.scan_epochs:
+        epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
+                                           cfg.with_random)
+    else:
+        train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
+                                            cfg.with_random)
     eval_step = make_causal_eval_step(model, cfg.eval_random)
 
     metrics = MetricsLogger(cfg.metrics_path, cfg.tb_dir)
@@ -111,8 +130,12 @@ def train_causal_syn(
     for epoch in range(start_epoch, cfg.epochs + 1):
         rng, e_rng, v_rng = jax.random.split(rng, 3)
         t0 = time.time()
-        state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
-            train_step, state, train_loader, e_rng)
+        if cfg.scan_epochs:
+            state, (loss, loss_c, loss_o, loss_co, train_acc) = (
+                _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+        else:
+            state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
+                train_step, state, train_loader, e_rng)
         val_co, val_c, val_acc_o = _eval(eval_step, state, val_loader, v_rng)
         test_co, test_c, test_o = _eval(eval_step, state, test_loader, v_rng)
         if val_acc_o > best_val:
@@ -187,8 +210,12 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     steps_per_epoch = -(-len(fold_indices[0][0]) // cfg.batch_size)
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
                         cfg.weight_decay)
-    train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
-                                        cfg.with_random)
+    if cfg.scan_epochs:
+        epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
+                                           cfg.with_random)
+    else:
+        train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
+                                            cfg.with_random)
     eval_step = make_causal_eval_step(model, cfg.eval_random)
     init_fn = make_init_fn(model, causal=True)
 
@@ -212,8 +239,12 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
         best_test, best_ep, best_c, best_o = 0.0, 0, 0.0, 0.0
         for epoch in range(1, cfg.epochs + 1):
             rng, e_rng, v_rng = jax.random.split(rng, 3)
-            state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
-                train_step, state, train_loader, e_rng)
+            if cfg.scan_epochs:
+                state, (loss, loss_c, loss_o, loss_co, train_acc) = (
+                    _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+            else:
+                state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
+                    train_step, state, train_loader, e_rng)
             t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng)
             train_accs[fold, epoch - 1] = train_acc
             test_accs[fold, epoch - 1] = t_co

@@ -69,15 +69,10 @@ def init_state(
     )
 
 
-def make_causal_train_step(model, tx, c_w, o_w, co_w, with_random: bool):
-    """Returns jit fn(state, batch, rng) -> (state, metrics).
+def _causal_step_fn(model, tx, c_w, o_w, co_w, with_random: bool):
+    """Un-jitted single-step body shared by the per-step and the
+    device-side epoch-scan entry points."""
 
-    metrics = dict of per-batch sums: loss/loss_c/loss_o/loss_co (each
-    already scaled by the real-graph count, mirroring
-    ``loss.item() * num_graphs(data)`` at train_causal.py:188-191),
-    correct_o, and n (real graphs)."""
-
-    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         g = _as_graph(batch)
         i_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -118,6 +113,45 @@ def make_causal_train_step(model, tx, c_w, o_w, co_w, with_random: bool):
         return new_state, aux
 
     return step
+
+
+def make_causal_train_step(model, tx, c_w, o_w, co_w, with_random: bool):
+    """Returns jit fn(state, batch, rng) -> (state, metrics).
+
+    metrics = dict of per-batch sums: loss/loss_c/loss_o/loss_co (each
+    already scaled by the real-graph count, mirroring
+    ``loss.item() * num_graphs(data)`` at train_causal.py:188-191),
+    correct_o, and n (real graphs)."""
+    inner = _causal_step_fn(model, tx, c_w, o_w, co_w, with_random)
+    return partial(jax.jit, donate_argnums=(0,))(inner)
+
+
+def make_causal_train_epoch(model, tx, c_w, o_w, co_w, with_random: bool):
+    """Device-side epoch loop: ONE dispatch per epoch instead of one per
+    step (``lax.scan`` over batches stacked on a leading axis).
+
+    Per-step dispatch through the runtime costs ~1.3 ms on the tunneled
+    backend vs a 2.5 ms step — the scan path removes it entirely.  Step
+    numerics are identical to the per-step path (same fold_in(rng, step)
+    PRNG stream, same op order); tests/test_train_smoke.py asserts the two
+    produce the same params.
+
+    Returns jit fn(state, stacked_batches, rng) -> (state, summed_metrics).
+    """
+    inner = _causal_step_fn(model, tx, c_w, o_w, co_w, with_random)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, stacked, rng):
+        state, auxes = jax.lax.scan(
+            lambda s, b: inner(s, b, rng), state, stacked)
+        return state, jax.tree.map(lambda a: a.sum(0), auxes)
+
+    return epoch
+
+
+def stack_batches(batches):
+    """Stack same-shape batch pytrees on a new leading axis for scan."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
 def make_causal_eval_step(model, eval_random: bool):

@@ -80,6 +80,7 @@ class Config:
     edge_budget: int = 0           # 0 -> auto (sparse layout only)
     mesh_dp: int = 1               # data-parallel mesh size
     use_pallas: bool = True        # use Pallas kernels where available
+    scan_epochs: bool = True       # device-side epoch loop (1 dispatch/epoch)
     log_every: int = 1
 
     def replace(self, **kw: Any) -> "Config":

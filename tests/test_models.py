@@ -116,3 +116,26 @@ def test_without_attention_ablations(graphs):
             g, eval_random=False, train=False)
         out = model.apply(variables, g, eval_random=False, train=False)
         assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_bf16_mixed_precision_close_to_f32(name, graphs):
+    """cfg.dtype='bfloat16' runs the conv stack in bf16 (f32 BN/pool/readout)
+    and stays close to the f32 forward."""
+    causal = name.startswith("Causal")
+    kwargs = {"eval_random": False} if causal else {}
+    g = _first_batch(graphs, "dense")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "intervention": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    outs = []
+    for dtype in ("float32", "bfloat16"):
+        cfg = Config(model=name, hidden=16, layers=2, dtype=dtype)
+        model = get_model(cfg, 0, 3)
+        variables = model.init(rngs, g, train=False, **kwargs)
+        out = model.apply(variables, g, train=False, **kwargs)
+        outs.append(out if causal else (out,))
+    for a, b in zip(*outs):
+        assert np.asarray(b).dtype == np.float32  # log-probs stay f32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=0.1)

@@ -29,3 +29,45 @@ def test_baseline_smoke(tiny_split):
                  layers=1, lr=0.01)
     res = train_baseline_syn(train, val, test, cfg, verbose=False)
     assert res["best_val_acc"] > 0.25
+
+
+def test_scan_epoch_matches_per_step_loop(graphs):
+    """Device-side epoch scan reproduces the per-step loop bit-for-bit
+    (same fold_in PRNG stream, same op order)."""
+    import jax
+    import numpy as np
+    from cal_tpu.data.loader import Loader, compute_budgets
+    from cal_tpu.models.factory import get_model
+    from cal_tpu.train.optim import make_optimizer
+    from cal_tpu.train.steps import (
+        init_state, make_causal_train_epoch, make_causal_train_step,
+        stack_batches)
+    from cal_tpu.utils.config import Config
+
+    cfg = Config(model="CausalGCN", hidden=8, layers=2, batch_size=4)
+    budgets = compute_budgets(graphs, cfg.batch_size, "dense")
+    loader = Loader(graphs, cfg.batch_size, layout="dense", budgets=budgets)
+    batches = list(loader)
+    model = get_model(cfg, 0, 3)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, 2, len(batches))
+    rng = jax.random.PRNGKey(0)
+    s0 = init_state(model, tx, batches[0], rng)
+
+    step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
+    s_loop = s0
+    tot = None
+    for b in batches:
+        s_loop, m = step(s_loop, b, rng)
+        tot = m if tot is None else jax.tree.map(lambda a, c: a + c, tot, m)
+
+    epoch = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    s1 = init_state(model, tx, batches[0], jax.random.PRNGKey(0))
+    s_scan, m_scan = epoch(s1, stack_batches(batches), rng)
+
+    for a, b in zip(jax.tree.leaves(s_loop.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(m_scan["loss"]), float(tot["loss"]),
+                               rtol=1e-5)
+    assert float(m_scan["n"]) == float(tot["n"])
