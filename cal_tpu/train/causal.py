@@ -24,6 +24,7 @@ from cal_tpu.models.factory import get_model
 from cal_tpu.train.optim import make_optimizer
 from cal_tpu.train.steps import (
     init_state,
+    make_causal_eval_epoch,
     make_causal_eval_step,
     make_causal_train_epoch,
     make_causal_train_step,
@@ -70,6 +71,22 @@ def _eval(eval_step, state, loader, rng):
     return tot["correct_co"] / n, tot["correct_c"] / n, tot["correct_o"] / n
 
 
+def _eval_scan(eval_epoch, state, stacked, rng):
+    """One-dispatch eval over pre-stacked batches (steps.py
+    make_causal_eval_epoch)."""
+    if stacked is None:
+        return 0.0, 0.0, 0.0
+    m = eval_epoch(state, stacked, rng)
+    n = max(float(m["n"]), 1.0)
+    return (float(m["correct_co"]) / n, float(m["correct_c"]) / n,
+            float(m["correct_o"]) / n)
+
+
+def _stack_loader(loader):
+    batches = list(loader)
+    return stack_batches(batches) if batches else None
+
+
 def train_causal_syn(
     train_set: Sequence[HostGraph],
     val_set: Sequence[HostGraph],
@@ -100,10 +117,14 @@ def train_causal_syn(
     if cfg.scan_epochs:
         epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
                                            cfg.with_random)
+        eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
+        # eval loaders don't shuffle: pack + stack them once, reuse forever
+        val_stacked = _stack_loader(val_loader)
+        test_stacked = _stack_loader(test_loader)
     else:
         train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
                                             cfg.with_random)
-    eval_step = make_causal_eval_step(model, cfg.eval_random)
+        eval_step = make_causal_eval_step(model, cfg.eval_random)
 
     metrics = MetricsLogger(cfg.metrics_path, cfg.tb_dir)
     ckpt = (Checkpointer(cfg.save_dir) if cfg.save_model else None)
@@ -133,11 +154,17 @@ def train_causal_syn(
         if cfg.scan_epochs:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = (
                 _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+            val_co, val_c, val_acc_o = _eval_scan(
+                eval_epoch, state, val_stacked, v_rng)
+            test_co, test_c, test_o = _eval_scan(
+                eval_epoch, state, test_stacked, v_rng)
         else:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
                 train_step, state, train_loader, e_rng)
-        val_co, val_c, val_acc_o = _eval(eval_step, state, val_loader, v_rng)
-        test_co, test_c, test_o = _eval(eval_step, state, test_loader, v_rng)
+            val_co, val_c, val_acc_o = _eval(
+                eval_step, state, val_loader, v_rng)
+            test_co, test_c, test_o = _eval(
+                eval_step, state, test_loader, v_rng)
         if val_acc_o > best_val:
             best_val = val_acc_o
             upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
@@ -213,10 +240,11 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     if cfg.scan_epochs:
         epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
                                            cfg.with_random)
+        eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
     else:
         train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
                                             cfg.with_random)
-    eval_step = make_causal_eval_step(model, cfg.eval_random)
+        eval_step = make_causal_eval_step(model, cfg.eval_random)
     init_fn = make_init_fn(model, causal=True)
 
     for fold, (train_idx, test_idx, _val_idx) in enumerate(
@@ -230,6 +258,9 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
                               spmm_tiles="auto" if cfg.use_pallas else False)
         test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
                              budgets=budgets, spmm_tiles="auto" if cfg.use_pallas else False)
+        if cfg.scan_epochs:
+            # test loader doesn't shuffle: pack + stack once per fold
+            test_stacked = _stack_loader(test_loader)
 
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
@@ -242,10 +273,12 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
             if cfg.scan_epochs:
                 state, (loss, loss_c, loss_o, loss_co, train_acc) = (
                     _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+                t_co, t_c, t_o = _eval_scan(
+                    eval_epoch, state, test_stacked, v_rng)
             else:
                 state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
                     train_step, state, train_loader, e_rng)
-            t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng)
+                t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng)
             train_accs[fold, epoch - 1] = train_acc
             test_accs[fold, epoch - 1] = t_co
             test_accs_c[fold, epoch - 1] = t_c

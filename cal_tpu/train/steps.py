@@ -180,6 +180,23 @@ def make_causal_eval_step(model, eval_random: bool):
     return step
 
 
+def make_causal_eval_epoch(model, eval_random: bool):
+    """Device-side eval sweep: scan the eval step over pre-stacked batches
+    (eval loaders don't shuffle, so the stack is built ONCE and reused every
+    epoch — no per-epoch host repacking or per-batch dispatch).
+
+    Returns jit fn(state, stacked_batches, rng) -> summed count dict."""
+    step = make_causal_eval_step(model, eval_random).__wrapped__
+
+    @jax.jit
+    def sweep(state: TrainState, stacked, rng):
+        _, outs = jax.lax.scan(
+            lambda carry, b: (carry, step(state, b, rng)), 0, stacked)
+        return jax.tree.map(lambda a: a.sum(0), outs)
+
+    return sweep
+
+
 def make_baseline_train_step(model, tx):
     """NLL training step for GCNNet/GINNet/GATNet (train.py:88-106)."""
 
