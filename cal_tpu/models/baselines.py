@@ -33,6 +33,7 @@ class BaselineGNN(nn.Module):
     heads: int = 4
     dropout: float = 0.0            # GATNet uses 0.2 (model.py:580,630-631)
     dtype: jnp.dtype = jnp.float32  # compute dtype (see CausalGNN.dtype)
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, g, train: bool = False):
@@ -59,6 +60,7 @@ class BaselineGNN(nn.Module):
                     GATConvLayer(
                         self.hidden // self.heads,
                         dtype=self.dtype,
+                        use_flash=self.use_pallas,
                         heads=self.heads,
                         dropout=self.dropout,
                         name=f"convs_{i}",

@@ -65,6 +65,7 @@ class CausalGNN(nn.Module):
     without_edge_attention: bool = False
     heads: int = 4
     gat_dropout: float = 0.2
+    use_pallas: bool = True          # fused kernels (flash-GAT) on by default
     dtype: jnp.dtype = jnp.float32   # compute dtype for the conv stack
                                      # (bf16 halves the HBM-bound traffic;
                                      # BN stats / pooling / readouts stay f32)
@@ -101,6 +102,7 @@ class CausalGNN(nn.Module):
                         dropout=self.gat_dropout,
                         name=f"convs_{i}",
                         dtype=self.dtype,
+                        use_flash=self.use_pallas,
                     )(x, g, deterministic=not train)
                 )
             else:

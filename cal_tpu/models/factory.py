@@ -26,6 +26,7 @@ def get_model(cfg: Config, num_features: int, num_classes: int):
             num_layers=cfg.layers,
             dropout=0.2 if bb == "gat" else 0.0,
             dtype=dtype,
+            use_pallas=cfg.use_pallas,
         )
     if cfg.model in _CAUSAL:
         return CausalGNN(
@@ -38,5 +39,6 @@ def get_model(cfg: Config, num_features: int, num_classes: int):
             without_node_attention=cfg.without_node_attention,
             without_edge_attention=cfg.without_edge_attention,
             dtype=dtype,
+            use_pallas=cfg.use_pallas,
         )
     raise ValueError(f"unknown model {cfg.model!r}")

@@ -24,6 +24,7 @@ import flax.linen as nn
 from cal_tpu.graph import DenseGraphBatch, GraphBatch
 from cal_tpu.ops.gcn import gcn_aggregate
 from cal_tpu.ops.gat import gat_aggregate_dense, gat_aggregate_sparse
+from cal_tpu.ops.pallas_gat import flash_gat_dense
 from cal_tpu.ops.gin import gin_aggregate
 
 
@@ -177,6 +178,9 @@ class GATConvLayer(nn.Module):
     heads: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = True   # fused Pallas kernel on the dense path
+                             # (ops/pallas_gat.py; exact same numerics,
+                             # parity-tested in tests/test_pallas_gat.py)
 
     @nn.compact
     def __call__(self, x, g, deterministic: bool = True):
@@ -206,9 +210,15 @@ class GATConvLayer(nn.Module):
         if isinstance(g, DenseGraphBatch):
             bsz, n, _ = x.shape
             xh = (x @ w).reshape(bsz, n, self.heads, self.out_per_head)
-            out = gat_aggregate_dense(
-                xh, g.adj, att_dst, att_src, self.dropout, rng
-            )
+            if self.use_flash:
+                out = flash_gat_dense(
+                    xh, g.adj, att_dst, att_src,
+                    self.dropout if not deterministic else 0.0, rng
+                ).astype(self.dtype)
+            else:
+                out = gat_aggregate_dense(
+                    xh, g.adj, att_dst, att_src, self.dropout, rng
+                )
             out = out.reshape(bsz, n, self.heads * self.out_per_head)
         else:
             assert isinstance(g, GraphBatch)
