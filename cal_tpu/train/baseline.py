@@ -11,8 +11,11 @@ from cal_tpu.models.factory import get_model
 from cal_tpu.train.optim import make_optimizer
 from cal_tpu.train.steps import (
     init_state,
+    make_baseline_eval_epoch,
     make_baseline_eval_step,
+    make_baseline_train_epoch,
     make_baseline_train_step,
+    stack_batches,
 )
 from cal_tpu.utils.config import Config
 
@@ -34,6 +37,27 @@ def _eval(eval_step, state, loader):
         correct += float(m["correct"])
         n += float(m["n"])
     return correct / max(n, 1.0)
+
+
+def _run_epoch_scan(epoch_fn, state, loader, rng):
+    batches = list(loader)
+    if not batches:
+        return state, 0.0, 0.0
+    state, m = epoch_fn(state, stack_batches(batches), rng)
+    n = max(float(m["n"]), 1.0)
+    return state, float(m["loss"]) / n, float(m["correct"]) / n
+
+
+def _eval_scan(eval_epoch, state, stacked):
+    if stacked is None:
+        return 0.0
+    m = eval_epoch(state, stacked)
+    return float(m["correct"]) / max(float(m["n"]), 1.0)
+
+
+def _stack_loader(loader):
+    batches = list(loader)
+    return stack_batches(batches) if batches else None
 
 
 def train_baseline_syn(
@@ -61,15 +85,29 @@ def train_baseline_syn(
     rng, init_rng = jax.random.split(rng)
     state = init_state(model, tx, next(iter(train_loader)), init_rng,
                        causal=False)
-    train_step = make_baseline_train_step(model, tx)
-    eval_step = make_baseline_eval_step(model)
+    if cfg.scan_epochs:
+        epoch_fn = make_baseline_train_epoch(model, tx)
+        eval_epoch = make_baseline_eval_epoch(model)
+        # eval loaders don't shuffle: pack + stack once, reuse every epoch
+        val_stacked = _stack_loader(val_loader)
+        test_stacked = _stack_loader(test_loader)
+    else:
+        train_step = make_baseline_train_step(model, tx)
+        eval_step = make_baseline_eval_step(model)
 
     best_val, upd_test, upd_ep = 0.0, 0.0, 0
     for epoch in range(1, cfg.epochs + 1):
         rng, e_rng = jax.random.split(rng)
-        state, loss, train_acc = _run_epoch(train_step, state, train_loader, e_rng)
-        val_acc = _eval(eval_step, state, val_loader)
-        test_acc = _eval(eval_step, state, test_loader)
+        if cfg.scan_epochs:
+            state, loss, train_acc = _run_epoch_scan(
+                epoch_fn, state, train_loader, e_rng)
+            val_acc = _eval_scan(eval_epoch, state, val_stacked)
+            test_acc = _eval_scan(eval_epoch, state, test_stacked)
+        else:
+            state, loss, train_acc = _run_epoch(
+                train_step, state, train_loader, e_rng)
+            val_acc = _eval(eval_step, state, val_loader)
+            test_acc = _eval(eval_step, state, test_loader)
         if val_acc > best_val:
             best_val, upd_test, upd_ep = val_acc, test_acc, epoch
         if verbose:

@@ -197,10 +197,10 @@ def make_causal_eval_epoch(model, eval_random: bool):
     return sweep
 
 
-def make_baseline_train_step(model, tx):
-    """NLL training step for GCNNet/GINNet/GATNet (train.py:88-106)."""
+def _baseline_step_fn(model, tx):
+    """Un-jitted NLL step body (train.py:88-106), shared by the per-step and
+    epoch-scan entry points."""
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         g = _as_graph(batch)
         d_rng = jax.random.fold_in(rng, state.step)
@@ -235,6 +235,37 @@ def make_baseline_train_step(model, tx):
         return new_state, aux
 
     return step
+
+
+def make_baseline_train_step(model, tx):
+    """jit fn(state, batch, rng) -> (state, {loss, correct, n} sums)."""
+    return partial(jax.jit, donate_argnums=(0,))(_baseline_step_fn(model, tx))
+
+
+def make_baseline_train_epoch(model, tx):
+    """Device-side epoch loop for baselines (see make_causal_train_epoch)."""
+    inner = _baseline_step_fn(model, tx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, stacked, rng):
+        state, auxes = jax.lax.scan(
+            lambda s, b: inner(s, b, rng), state, stacked)
+        return state, jax.tree.map(lambda a: a.sum(0), auxes)
+
+    return epoch
+
+
+def make_baseline_eval_epoch(model):
+    """Device-side eval sweep for baselines (see make_causal_eval_epoch)."""
+    step = make_baseline_eval_step(model).__wrapped__
+
+    @jax.jit
+    def sweep(state: TrainState, stacked):
+        _, outs = jax.lax.scan(
+            lambda carry, b: (carry, step(state, b)), 0, stacked)
+        return jax.tree.map(lambda a: a.sum(0), outs)
+
+    return sweep
 
 
 def make_baseline_eval_step(model):
