@@ -27,11 +27,12 @@ def gin_aggregate(x: jax.Array, g, eps: float = 0.0) -> jax.Array:
 
         tf, tb = g.tiles
         # GIN keeps self edges as ordinary edges (no loop manipulation),
-        # so the coefficient is just the padding mask.
-        coef = g.edge_mask.astype(x.dtype)
-        coef_ext = jnp.concatenate([coef, jnp.zeros((1,), x.dtype)])
+        # so the coefficient is just the padding mask.  Always f32: Mosaic's
+        # minor-dim insertion on the kernel's scalar operand is 32-bit-only.
+        coef = g.edge_mask.astype(jnp.float32)
+        coef_ext = jnp.concatenate([coef, jnp.zeros((1,), jnp.float32)])
         agg = coo_spmm(x.astype(jnp.float32), coef_ext, tf, tb,
-                       tf.node_block)
+                       tf.node_block).astype(x.dtype)
         return (1.0 + eps) * x + agg
     msg = jnp.where(
         g.edge_mask[:, None], jnp.take(x, g.senders, axis=0), 0.0

@@ -333,8 +333,12 @@ def gcn_aggregate_sparse_pallas(
     degree/normalisation stays in XLA; the O(E*H) gather/scatter runs in the
     tiled kernel."""
     num_nodes = x.shape[0]
-    ew = (jnp.ones_like(senders, dtype=x.dtype)
-          if edge_weight is None else edge_weight)
+    # the per-edge coefficient chain is always f32: [E] scalars are free
+    # traffic-wise, and Mosaic's minor-dim insertion (coef[:, None] in the
+    # kernel) only supports 32-bit types — a bf16 model dtype must not leak
+    # into the kernel's scalar operands.
+    ew = (jnp.ones(senders.shape, jnp.float32)
+          if edge_weight is None else edge_weight.astype(jnp.float32))
     live = edge_mask & (senders != receivers)
     ew = jnp.where(live, ew, 0.0)
     deg = jax.ops.segment_sum(ew, senders, num_segments=num_nodes) + 1.0
@@ -343,4 +347,4 @@ def gcn_aggregate_sparse_pallas(
     coef_ext = jnp.concatenate([coef, jnp.zeros((1,), coef.dtype)])
     out = coo_spmm(x.astype(jnp.float32), coef_ext, tiles_fwd, tiles_bwd,
                    node_block)
-    return out + x / deg[:, None]
+    return (out + x.astype(jnp.float32) / deg[:, None]).astype(x.dtype)
