@@ -1,0 +1,112 @@
+"""On-TPU (Mosaic-compiled) parity for the Pallas kernels vs XLA paths.
+
+The CI test suite runs the kernels in *interpreter* mode on the CPU mesh,
+which can hide hardware-only divergences (e.g. Mosaic's prng_random_bits
+yielding signed int32 — a bug interpret-mode tests could never catch; see
+cal_tpu/ops/pallas_gat.py ``_dropout_keep``).  Run this module on the real
+chip after touching any kernel: ``python -m benchmarks.parity_tpu``.
+
+Checks forward + full gradients with max-abs tolerances:
+  * flash-GAT (ops/pallas_gat.py) vs gat_aggregate_dense, incl. dropout
+    statistics (keep-rate / mean preservation, replay determinism);
+  * block-COO tiled SpMM (ops/pallas_spmm.py) vs gcn_aggregate_sparse,
+    incl. the SDDMM edge-weight gradient.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cal_tpu.ops.gat import gat_aggregate_dense
+from cal_tpu.ops.gcn import gcn_aggregate_sparse
+from cal_tpu.ops.pallas_gat import flash_gat_dense
+from cal_tpu.ops.pallas_spmm import (
+    NODE_BLOCK, TILE_EDGES, build_tiles, gcn_aggregate_sparse_pallas,
+    tile_budget_for)
+
+FAILS = []
+
+
+def check(name, got, want, tol):
+    got, want = np.asarray(got), np.asarray(want)
+    err = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-12))
+    status = "ok" if err <= tol else "FAIL"
+    if err > tol:
+        FAILS.append(name)
+    print(f"  {name:28s} rel-max-err {err:.2e}  ({status}, tol {tol:g})")
+
+
+def gat_parity():
+    print("flash-GAT vs gat_aggregate_dense (f32):")
+    rng = np.random.default_rng(0)
+    B, N, heads, d = 8, 232, 4, 32
+    xh = jnp.asarray(rng.standard_normal((B, N, heads, d)), jnp.float32)
+    adj_np = (rng.random((B, N, N)) < 0.02).astype(np.float32)
+    adj = jnp.asarray(adj_np + adj_np.transpose(0, 2, 1))
+    att_dst = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+    att_src = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+
+    ref = jax.jit(gat_aggregate_dense)(xh, adj, att_dst, att_src)
+    got = jax.jit(flash_gat_dense)(xh, adj, att_dst, att_src)
+    check("fwd", got, ref, 2e-3)
+
+    lr = lambda xh, ad, as_: jnp.sum(gat_aggregate_dense(xh, adj, ad, as_) ** 2)
+    lf = lambda xh, ad, as_: jnp.sum(flash_gat_dense(xh, adj, ad, as_) ** 2)
+    gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(xh, att_dst, att_src)
+    gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(xh, att_dst, att_src)
+    for nm, a, b in zip(("grad dxh", "grad datt_dst", "grad datt_src"), gr, gf):
+        check(nm, b, a, 2e-3)
+
+    # dropout statistics (rate 0.2 -> keep 0.8, inverted scaling keeps mean)
+    k = jax.random.PRNGKey(3)
+    gotd = jax.jit(lambda *a: flash_gat_dense(*a, 0.2, k))(
+        xh, adj, att_dst, att_src)
+    ratio = float(jnp.sum(gotd) / jnp.sum(ref))
+    ok = 0.9 < ratio < 1.1
+    if not ok:
+        FAILS.append("dropout mean ratio")
+    print(f"  {'dropout mean ratio':28s} {ratio:.4f}  "
+          f"({'ok' if ok else 'FAIL'}, want ~1)")
+    ld = lambda xh: jnp.sum(flash_gat_dense(xh, adj, att_dst, att_src, 0.2, k) ** 2)
+    g1 = jax.jit(jax.grad(ld))(xh)
+    g2 = jax.jit(jax.grad(ld))(xh)
+    check("dropout grad replay", g2, g1, 0.0)
+
+
+def spmm_parity():
+    print("tiled SpMM vs gcn_aggregate_sparse (f32):")
+    rng = np.random.default_rng(1)
+    V, E, H = 4096, 65536, 128
+    senders = rng.integers(0, V, size=E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, V, size=E)).astype(np.int32)
+    edge_mask = np.arange(E) < int(E * 0.9)
+    x = jnp.asarray(rng.standard_normal((V, H)), jnp.float32)
+    w = jnp.asarray(rng.random(E), jnp.float32)
+    budget = tile_budget_for(E, V, NODE_BLOCK, TILE_EDGES)
+    tf = build_tiles(senders, receivers, V, tile_budget=budget)
+    tb = build_tiles(receivers, senders, V, tile_budget=budget)
+    s, r, m = (jnp.asarray(senders), jnp.asarray(receivers),
+               jnp.asarray(edge_mask))
+
+    ref_fn = lambda x, w: gcn_aggregate_sparse(x, s, r, m, w)
+    got_fn = lambda x, w: gcn_aggregate_sparse_pallas(x, s, r, m, tf, tb, w)
+    check("fwd", jax.jit(got_fn)(x, w), jax.jit(ref_fn)(x, w), 1e-4)
+
+    lr = lambda x, w: jnp.sum(ref_fn(x, w) ** 2)
+    lf = lambda x, w: jnp.sum(got_fn(x, w) ** 2)
+    gr = jax.jit(jax.grad(lr, argnums=(0, 1)))(x, w)
+    gf = jax.jit(jax.grad(lf, argnums=(0, 1)))(x, w)
+    check("grad dx", gf[0], gr[0], 1e-4)
+    check("grad dw (SDDMM)", gf[1], gr[1], 1e-4)
+
+
+def main():
+    print(f"backend: {jax.default_backend()}")
+    gat_parity()
+    spmm_parity()
+    if FAILS:
+        raise SystemExit(f"PARITY FAILURES: {FAILS}")
+    print("all on-TPU kernel parities OK")
+
+
+if __name__ == "__main__":
+    main()

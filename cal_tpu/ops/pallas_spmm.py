@@ -177,19 +177,30 @@ def _onehot(loc, n, dtype):
     return (loc[:, None] == iota).astype(dtype)
 
 
+def _mm_precision(mm_dtype):
+    """f32 mode must be exact: Mosaic's DEFAULT dot precision rounds f32
+    operands to bf16 on the MXU (1 pass, ~1e-3 rel error — measured on HW;
+    interpret mode computes true f32 and hides it).  HIGHEST multi-pass
+    splitting restores exact f32; the kernel is not MXU-bound (bf16 mode
+    measured no faster), so the extra passes are ~free."""
+    return (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _spmm_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
                  x_ref, out_ref, *, mm_dtype):
     del jarr
     t = pl.program_id(0)
     nb = out_ref.shape[0]
+    prec = _mm_precision(mm_dtype)
     oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
     msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32, precision=prec)
     msg = msg * coef_ref[0, 0][:, None]
     oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
     upd = jax.lax.dot_general(
         oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(first[t] == 1)
     def _():
@@ -203,10 +214,13 @@ def _spmm_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
 def _sddmm_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref, dcoef_ref,
                   *, mm_dtype):
     del iarr, jarr
+    prec = _mm_precision(mm_dtype)
     a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype),
-                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
+                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
     b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype),
-                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32)
+                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
     dcoef_ref[0, 0] = jnp.sum(a * b, axis=1)
 
 
