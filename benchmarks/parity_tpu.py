@@ -72,6 +72,53 @@ def gat_parity():
     check("dropout grad replay", g2, g1, 0.0)
 
 
+def gcn_dense_parity():
+    print("fused dense GCN vs gcn_aggregate_dense (f32 + bf16):")
+    from cal_tpu.ops.gcn import gcn_aggregate_dense
+    from cal_tpu.ops.pallas_gcn import (
+        SigmoidEdgeWeight, fused_gcn_dense, fused_gcn_dense_att)
+
+    rng = np.random.default_rng(2)
+    B, N, H = 8, 248, 128
+    adj_np = (rng.random((B, N, N)) < 0.02).astype(np.float32)
+    adj_np += (rng.random((B, N, N)) < 0.002)       # duplicate edges
+    adj_np[B - 1] = 0.0                             # padded graph slot
+    adj = jnp.asarray(adj_np)
+    x = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    dst = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+
+    check("unweighted fwd", jax.jit(fused_gcn_dense)(x, adj),
+          jax.jit(lambda x: gcn_aggregate_dense(x, adj))(x), 1e-5)
+    gr = jax.jit(jax.grad(lambda x: jnp.sum(gcn_aggregate_dense(x, adj) ** 2)))(x)
+    gf = jax.jit(jax.grad(lambda x: jnp.sum(fused_gcn_dense(x, adj) ** 2)))(x)
+    check("unweighted grad dx", gf, gr, 1e-5)
+
+    for negate in (False, True):
+        tag = "1-sig" if negate else "sig"
+        lr = lambda x, s, d: jnp.sum(gcn_aggregate_dense(
+            x, adj, SigmoidEdgeWeight(s, d, negate=negate).materialize()) ** 2)
+        lf = lambda x, s, d: jnp.sum(
+            fused_gcn_dense_att(x, adj, s, d, negate) ** 2)
+        check(f"att({tag}) fwd",
+              jax.jit(lambda x, s, d: fused_gcn_dense_att(x, adj, s, d, negate))(x, src, dst),
+              jax.jit(lambda x, s, d: gcn_aggregate_dense(
+                  x, adj, SigmoidEdgeWeight(s, d, negate=negate).materialize()))(x, src, dst),
+              1e-5)
+        gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(x, src, dst)
+        gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(x, src, dst)
+        for nm, a, b in zip((f"att({tag}) dx", f"att({tag}) dsrc",
+                             f"att({tag}) ddst"), gr, gf):
+            check(nm, b, a, 2e-5)
+
+    # bf16 storage mode (production config): tolerance at bf16 resolution
+    xb, ab = x.astype(jnp.bfloat16), adj.astype(jnp.bfloat16)
+    ref16 = jax.jit(lambda x: gcn_aggregate_dense(x, ab))(xb)
+    got16 = jax.jit(fused_gcn_dense)(xb, ab)
+    check("unweighted fwd bf16", got16.astype(np.float32),
+          ref16.astype(np.float32), 2e-2)
+
+
 def spmm_parity():
     print("tiled SpMM vs gcn_aggregate_sparse (f32):")
     rng = np.random.default_rng(1)
@@ -102,6 +149,7 @@ def spmm_parity():
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
+    gcn_dense_parity()
     spmm_parity()
     if FAILS:
         raise SystemExit(f"PARITY FAILURES: {FAILS}")

@@ -88,7 +88,7 @@ class CausalGNN(nn.Module):
         for i in range(self.num_layers):
             if self.backbone == "gcn":
                 x = MaskedBatchNorm(name=f"bns_conv_{i}")(x, node_mask, ura)
-                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(x, g))
+                x = jax.nn.relu(GCNConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype, use_pallas=self.use_pallas)(x, g))
             elif self.backbone == "gin":
                 x = GINConvLayer(self.hidden, name=f"convs_{i}", dtype=self.dtype)(
                     x, g, node_mask, ura
@@ -111,12 +111,18 @@ class CausalGNN(nn.Module):
         # --- edge attention (model.py:97-104) ---
         ablate = self.backbone == "gcn"  # only CausalGCN has ablation branches
         if ablate and self.without_edge_attention:
-            if dense:
-                shape = g.adj.shape
+            if dense and self.use_pallas:
+                # sigma(0 + 0) = 0.5 exactly — the constant-0.5 ablation
+                # weights in factored form for the fused kernel.
+                from cal_tpu.ops.pallas_gcn import SigmoidEdgeWeight
+
+                zeros = jnp.zeros(x.shape[:-1], x.dtype)
+                w_c = SigmoidEdgeWeight(zeros, zeros, negate=False)
+                w_o = SigmoidEdgeWeight(zeros, zeros, negate=True)
             else:
-                shape = g.senders.shape
-            w_c = jnp.full(shape, 0.5, x.dtype)
-            w_o = jnp.full(shape, 0.5, x.dtype)
+                shape = g.adj.shape if dense else g.senders.shape
+                w_c = jnp.full(shape, 0.5, x.dtype)
+                w_o = jnp.full(shape, 0.5, x.dtype)
         else:
             # one [2H, 2] kernel mirroring the reference ``edge_att_mlp``
             # module exactly; ops/attention.py splits it into sender/receiver
@@ -137,7 +143,8 @@ class CausalGNN(nn.Module):
                 (2,),
             )
             w_c, w_o = edge_attention(
-                x, g, kernel[: self.hidden], kernel[self.hidden :], bias
+                x, g, kernel[: self.hidden], kernel[self.hidden :], bias,
+                factored=dense and self.use_pallas,
             )
 
         # --- node attention (model.py:106-111) ---
@@ -169,8 +176,8 @@ class CausalGNN(nn.Module):
         # backbones, incl. CausalGAT — model.py:346-347) ---
         xc = MaskedBatchNorm(name="bnc")(xc, node_mask, ura)
         xo = MaskedBatchNorm(name="bno")(xo, node_mask, ura)
-        xc = jax.nn.relu(GCNConvLayer(self.hidden, name="context_convs", dtype=self.dtype)(xc, g, w_c))
-        xo = jax.nn.relu(GCNConvLayer(self.hidden, name="objects_convs", dtype=self.dtype)(xo, g, w_o))
+        xc = jax.nn.relu(GCNConvLayer(self.hidden, name="context_convs", dtype=self.dtype, use_pallas=self.use_pallas)(xc, g, w_c))
+        xo = jax.nn.relu(GCNConvLayer(self.hidden, name="objects_convs", dtype=self.dtype, use_pallas=self.use_pallas)(xo, g, w_o))
 
         # --- readout (model.py:115-122) ---
         xc = global_add_pool(xc, g)

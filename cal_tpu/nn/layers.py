@@ -149,6 +149,7 @@ class GCNConvLayer(nn.Module):
     gfn: bool = False
     edge_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True  # fused dense norm-matmul kernel (ops/pallas_gcn)
 
     @nn.compact
     def __call__(self, x, g=None, edge_weight=None):
@@ -163,7 +164,7 @@ class GCNConvLayer(nn.Module):
         if self.gfn:
             return x  # bias NOT added in gfn mode (gcn_conv.py:76-77 returns early)
         if self.edge_norm:
-            x = gcn_aggregate(x, g, edge_weight)
+            x = gcn_aggregate(x, g, edge_weight, use_pallas=self.use_pallas)
         else:
             # un-normalized sum aggregation (edge_norm=False path,
             # gcn_conv.py:87-99: message = x_j, no self loops added).

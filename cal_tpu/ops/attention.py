@@ -16,7 +16,8 @@ from cal_tpu.graph import DenseGraphBatch, GraphBatch
 from cal_tpu.ops.segment import segment_sum
 
 
-def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array):
+def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array,
+                   factored: bool = False):
     """Per-edge (context, object) softmax weights.
 
     Reference model.py:97-104: ``edge_rep = cat([x[row], x[col]])`` with
@@ -25,7 +26,10 @@ def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array):
     ``edge_att_mlp.weight``) and ``w_dst`` receiver features.
 
     Returns (edge_weight_c, edge_weight_o):
-      dense layout:  each [B, N, N] with [b, r, s] = weight of edge s -> r;
+      dense layout:  each [B, N, N] with [b, r, s] = weight of edge s -> r —
+                     or, with ``factored=True``, a pair of un-materialized
+                     ``SigmoidEdgeWeight`` factors that the fused Pallas GCN
+                     kernel rebuilds in VMEM (never hits HBM);
       sparse layout: each [E].
     """
     w_src, w_dst, b = (w_src.astype(x.dtype), w_dst.astype(x.dtype),
@@ -37,6 +41,11 @@ def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array):
         # [B,N,N,2] form measured 1.0 ms vs 0.03 ms for this at bench shapes).
         src = x @ (w_src[:, 0] - w_src[:, 1]) + (b[0] - b[1])   # [B, N]
         dst = x @ (w_dst[:, 0] - w_dst[:, 1])                   # [B, N]
+        if factored:
+            from cal_tpu.ops.pallas_gcn import SigmoidEdgeWeight
+
+            return (SigmoidEdgeWeight(src, dst, negate=False),
+                    SigmoidEdgeWeight(src, dst, negate=True))
         att_c = jax.nn.sigmoid(src[:, None, :] + dst[:, :, None])  # [B, r, s]
         return att_c, 1.0 - att_c
     assert isinstance(g, GraphBatch)

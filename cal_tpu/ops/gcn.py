@@ -96,9 +96,23 @@ def gcn_aggregate_sparse(
     return out + x / deg[:, None]
 
 
-def gcn_aggregate(x, g, edge_weight=None):
-    """Layout dispatch (dense MXU / Pallas block-COO tiles / XLA segment)."""
+def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
+    """Layout dispatch (fused Pallas dense / dense MXU / Pallas block-COO
+    tiles / XLA segment).  ``edge_weight`` may be a dense [B, N, N] array or
+    a factored ``SigmoidEdgeWeight`` (the causal attention weights in
+    un-materialized form — the fused kernel rebuilds them in VMEM)."""
+    from cal_tpu.ops.pallas_gcn import (
+        SigmoidEdgeWeight, fused_gcn_dense, fused_gcn_dense_att)
+
     if isinstance(g, DenseGraphBatch):
+        if isinstance(edge_weight, SigmoidEdgeWeight):
+            if use_pallas:
+                return fused_gcn_dense_att(
+                    x, g.adj, edge_weight.src, edge_weight.dst,
+                    edge_weight.negate)
+            edge_weight = edge_weight.materialize()
+        elif edge_weight is None and use_pallas:
+            return fused_gcn_dense(x, g.adj)
         return gcn_aggregate_dense(x, g.adj, edge_weight)
     assert isinstance(g, GraphBatch)
     if g.tiles is not None:
