@@ -33,30 +33,74 @@ SYN_CONTEXTS = ["tree", "ba"]
 
 
 # --------------------------------------------------------------------------
-# motif constructors (synthetic_structsim.py:49-204) as edge lists
+# motif constructors (synthetic_structsim.py:12-204) as edge lists
+#
+# The full shape library, parameterized like the reference's constructors.
+# A spec is either a plain name (CAL's four classes use the defaults below)
+# or a tuple mirroring the reference's ["name", *args] shape lists:
+#   ("cycle", n)           cycle of length n        (synthetic_structsim.py:49)
+#   ("clique", n[, rm])    K_n, rm random edges cut (synthetic_structsim.py:12)
+#   ("tree", height, r)    balanced r-ary tree      (synthetic_structsim.py:73)
+#   ("ba", width, m)       BA graph as a motif      (synthetic_structsim.py:91)
+#   ("grid", (rows, cols)) 2-D lattice              (synthetic_structsim.py:198)
 # --------------------------------------------------------------------------
 
-def _motif_edges(shape: str) -> tuple[int, list[tuple[int, int]]]:
-    if shape == "house":
+MotifSpec = "str | tuple"
+
+
+def _grid_edges(rows: int, cols: int) -> tuple[int, list[tuple[int, int]]]:
+    edges = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                edges.append((r * cols + c, r * cols + c + 1))
+            if r + 1 < rows:
+                edges.append((r * cols + c, (r + 1) * cols + c))
+    return rows * cols, edges
+
+
+def _motif_edges(
+    shape, rng: np.random.Generator | None = None
+) -> tuple[int, list[tuple[int, int]]]:
+    name, args = (shape, ()) if isinstance(shape, str) else (shape[0], tuple(shape[1:]))
+    if name == "house":
         # 4-cycle + roof node connected to nodes 0,1 (synthetic_structsim.py:169-195)
         return 5, [(0, 1), (1, 2), (2, 3), (3, 0), (4, 0), (4, 1)]
-    if shape == "cycle":
-        # 6-cycle (gengraph.py:62 uses ["cycle", 6])
-        return 6, [(i, (i + 1) % 6) for i in range(6)]
-    if shape == "diamond":
+    if name == "cycle":
+        # default 6 (gengraph.py:62 uses ["cycle", 6])
+        n = args[0] if args else 6
+        return n, [(i, (i + 1) % n) for i in range(n)]
+    if name == "diamond":
         # 6-cycle + chords (5,1) and (4,2) (synthetic_structsim.py:114-125)
         return 6, [(i, (i + 1) % 6) for i in range(6)] + [(5, 1), (4, 2)]
-    if shape == "grid":
-        # 2x3 grid (synthetic_structsim.py:198-204)
-        n = 6  # nodes (r, c): id = r*3 + c for r in 0..1, c in 0..2
-        edges = []
-        for r in range(2):
-            for c in range(3):
-                if c + 1 < 3:
-                    edges.append((r * 3 + c, r * 3 + c + 1))
-                if r + 1 < 2:
-                    edges.append((r * 3 + c, (r + 1) * 3 + c))
+    if name == "clique":
+        # complete graph, optionally nb_to_remove random edges removed
+        # (synthetic_structsim.py:12-46)
+        n = args[0] if args else 5
+        rm = args[1] if len(args) > 1 else 0
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)]
+        if rm:
+            assert rng is not None, "clique edge-removal needs an rng"
+            drop = set(rng.choice(len(edges), rm, replace=False).tolist())
+            edges = [e for i, e in enumerate(edges) if i not in drop]
         return n, edges
+    if name == "tree":
+        # balanced r-ary tree of given height (synthetic_structsim.py:73-88)
+        height = args[0] if args else 2
+        r = args[1] if len(args) > 1 else 10
+        t = nx.balanced_tree(r, height)
+        return t.number_of_nodes(), list(t.edges())
+    if name == "ba":
+        # BA preferential-attachment graph as a motif (synthetic_structsim.py:91-111)
+        width = args[0] if args else 10
+        m = args[1] if len(args) > 1 else 5
+        seed = int(rng.integers(2**31)) if rng is not None else None
+        b = nx.barabasi_albert_graph(width, m, seed=seed)
+        return width, list(b.edges())
+    if name == "grid":
+        # default 2x3 (synthetic_structsim.py:198-204; utils.py grid class)
+        dim = args[0] if args else (2, 3)
+        return _grid_edges(*dim)
     raise ValueError(shape)
 
 
@@ -80,7 +124,7 @@ def build_graph(
     plugins = rng.choice(n_basis, nb_shapes, replace=False)
     start = n_basis
     for k in range(nb_shapes):
-        n_s, edges = _motif_edges(shape)
+        n_s, edges = _motif_edges(shape, rng)
         g.add_nodes_from(range(start, start + n_s))
         g.add_edges_from([(start + u, start + v) for u, v in edges])
         g.add_edge(start, int(plugins[k]))  # attach (synthetic_structsim.py:270)

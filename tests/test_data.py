@@ -93,3 +93,42 @@ def test_degree_onehot_cap(rng):
     x = degree_onehot(g, 10)
     assert x[0, 9] == 1  # capped at max_degree-1 (featgen.py:26-28)
     assert x[1, 1] == 1
+
+
+def test_motif_library_full(rng):
+    """Every reference shape constructor (synthetic_structsim.py:12-204) is
+    available, with parameterized specs mirroring ["name", *args] lists."""
+    from cal_tpu.data.synthetic import _motif_edges
+
+    # clique: K_n is complete; optional random edge removal
+    n, edges = _motif_edges(("clique", 5), rng)
+    assert n == 5 and len(edges) == 10
+    n, edges = _motif_edges(("clique", 5, 3), rng)
+    assert len(edges) == 7 and len(set(edges)) == 7
+    # cycle: default 6, parameterized length
+    assert _motif_edges("cycle")[0] == 6
+    n, edges = _motif_edges(("cycle", 9))
+    assert n == 9 and len(edges) == 9
+    # tree: balanced r-ary of height h
+    n, edges = _motif_edges(("tree", 2, 3))
+    assert n == 13 and len(edges) == 12  # 1 + 3 + 9 nodes
+    # ba: width nodes, connected, random
+    n, edges = _motif_edges(("ba", 12, 2), rng)
+    assert n == 12 and len(edges) == 10 * 2  # (width - m) * m for BA
+    # grid: default 2x3, parameterized dims
+    assert _motif_edges("grid") == _motif_edges(("grid", (2, 3)))
+    n, edges = _motif_edges(("grid", (3, 4)))
+    assert n == 12 and len(edges) == 3 * 3 + 2 * 4
+    # house/diamond defaults unchanged
+    assert _motif_edges("house")[0] == 5
+    assert _motif_edges("diamond") == (6, [(i, (i + 1) % 6) for i in range(6)]
+                                       + [(5, 1), (4, 2)])
+
+
+def test_build_graph_tuple_spec(rng):
+    """build_graph accepts parameterized motif specs (dead-path shapes in
+    the reference, reachable here)."""
+    from cal_tpu.data.synthetic import build_graph
+
+    g = build_graph("ba", ("clique", 4), node_num=5, rng=rng)
+    assert g.number_of_nodes() == 25 + 4
