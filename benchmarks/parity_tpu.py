@@ -107,9 +107,41 @@ def gcn_dense_parity():
               1e-5)
         gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(x, src, dst)
         gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(x, src, dst)
+        # Gradient tolerance on HARDWARE is 1e-2, not the interpret-mode
+        # 2e-5 (tests/test_pallas_gcn.py): TPU f32 matmuls run the MXU at
+        # default (reduced per-pass) precision, and the kernel's backward
+        # contracts in a different grouping than XLA autodiff, so the two
+        # agree only to ~3e-3 rel-max.  Forward stays at 1e-5 (identical
+        # contraction).  Measured 2026-08-19: 2.6e-3 .. 3.7e-3.
         for nm, a, b in zip((f"att({tag}) dx", f"att({tag}) dsrc",
                              f"att({tag}) ddst"), gr, gf):
-            check(nm, b, a, 2e-5)
+            check(nm, b, a, 1e-2)
+
+    # dual-branch kernel (both masked convs fused; ops/pallas_gcn.py)
+    from cal_tpu.ops.pallas_gcn import fused_gcn_dense_att_dual
+
+    xo = jnp.tanh(x)
+    ref_c = jax.jit(lambda x, s, d: gcn_aggregate_dense(
+        x, adj, SigmoidEdgeWeight(s, d, False).materialize()))(x, src, dst)
+    ref_o = jax.jit(lambda x, s, d: gcn_aggregate_dense(
+        x, adj, SigmoidEdgeWeight(s, d, True).materialize()))(xo, src, dst)
+    oc, oo = jax.jit(lambda *a: fused_gcn_dense_att_dual(*a))(
+        x, xo, adj, src, dst)
+    check("dual fwd (c)", oc, ref_c, 1e-5)
+    check("dual fwd (o)", oo, ref_o, 1e-5)
+    lrd = lambda xc, xo, s, d: (
+        jnp.sum(gcn_aggregate_dense(
+            xc, adj, SigmoidEdgeWeight(s, d, False).materialize()) ** 2)
+        + jnp.sum(gcn_aggregate_dense(
+            xo, adj, SigmoidEdgeWeight(s, d, True).materialize()) ** 2))
+    lfd = lambda xc, xo, s, d: (
+        jnp.sum(fused_gcn_dense_att_dual(xc, xo, adj, s, d)[0] ** 2)
+        + jnp.sum(fused_gcn_dense_att_dual(xc, xo, adj, s, d)[1] ** 2))
+    grd = jax.jit(jax.grad(lrd, argnums=(0, 1, 2, 3)))(x, xo, src, dst)
+    gfd = jax.jit(jax.grad(lfd, argnums=(0, 1, 2, 3)))(x, xo, src, dst)
+    for nm, a, b in zip(("dual dxc", "dual dxo", "dual dsrc", "dual ddst"),
+                        grd, gfd):
+        check(nm, b, a, 1e-2)   # hardware f32-matmul precision; see above
 
     # bf16 storage mode (production config): tolerance at bf16 resolution
     xb, ab = x.astype(jnp.bfloat16), adj.astype(jnp.bfloat16)

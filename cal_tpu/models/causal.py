@@ -176,8 +176,33 @@ class CausalGNN(nn.Module):
         # backbones, incl. CausalGAT — model.py:346-347) ---
         xc = MaskedBatchNorm(name="bnc")(xc, node_mask, ura)
         xo = MaskedBatchNorm(name="bno")(xo, node_mask, ura)
-        xc = jax.nn.relu(GCNConvLayer(self.hidden, name="context_convs", dtype=self.dtype, use_pallas=self.use_pallas)(xc, g, w_c))
-        xo = jax.nn.relu(GCNConvLayer(self.hidden, name="objects_convs", dtype=self.dtype, use_pallas=self.use_pallas)(xo, g, w_o))
+        ctx_conv = GCNConvLayer(self.hidden, name="context_convs",
+                                dtype=self.dtype, use_pallas=self.use_pallas)
+        obj_conv = GCNConvLayer(self.hidden, name="objects_convs",
+                                dtype=self.dtype, use_pallas=self.use_pallas)
+        from cal_tpu.ops.pallas_gcn import (
+            SigmoidEdgeWeight, fused_gcn_dense_att_dual)
+
+        dual = (
+            dense and self.use_pallas
+            and isinstance(w_c, SigmoidEdgeWeight)
+            and isinstance(w_o, SigmoidEdgeWeight)
+            and w_c.src is w_o.src and w_c.dst is w_o.dst
+            and not w_c.negate and w_o.negate
+        )
+        if dual:
+            # both masked convs in ONE dual-branch kernel: the [B, N, N]
+            # adjacency (the step's largest tensor) is read once per
+            # fwd/bwd instead of twice (ops/pallas_gcn.py dual section).
+            xc_t, bc = ctx_conv(xc, transform_only=True)
+            xo_t, bo = obj_conv(xo, transform_only=True)
+            oc, oo = fused_gcn_dense_att_dual(
+                xc_t, xo_t, g.adj, w_c.src, w_c.dst)
+            xc = jax.nn.relu(oc + bc)
+            xo = jax.nn.relu(oo + bo)
+        else:
+            xc = jax.nn.relu(ctx_conv(xc, g, w_c))
+            xo = jax.nn.relu(obj_conv(xo, g, w_o))
 
         # --- readout (model.py:115-122) ---
         xc = global_add_pool(xc, g)

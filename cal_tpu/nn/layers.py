@@ -152,7 +152,7 @@ class GCNConvLayer(nn.Module):
     use_pallas: bool = True  # fused dense norm-matmul kernel (ops/pallas_gcn)
 
     @nn.compact
-    def __call__(self, x, g=None, edge_weight=None):
+    def __call__(self, x, g=None, edge_weight=None, transform_only=False):
         fan_in = x.shape[-1]
         w = self.param(
             "kernel", glorot_init(fan_in, self.features), (fan_in, self.features)
@@ -161,6 +161,11 @@ class GCNConvLayer(nn.Module):
         x = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
                     preferred_element_type=jnp.float32).astype(self.dtype)
         b = b.astype(self.dtype)
+        if transform_only:
+            # linear part + bias for an externally-fused aggregate (the
+            # causal models run both masked convs in ONE dual-branch Pallas
+            # kernel — models/causal.py); parameters/init identical.
+            return x, b
         if self.gfn:
             return x  # bias NOT added in gfn mode (gcn_conv.py:76-77 returns early)
         if self.edge_norm:

@@ -260,3 +260,147 @@ fused_gcn_dense_att.defvjp(
     lambda x, adj, src, dst, negate: _att_fwd(x, adj, src, dst, negate),
     _att_bwd,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dual-branch kernel: the causal models' context/object masked convs
+# (model.py:112-113) share the SAME adjacency and complementary attention
+# weights w_c = sigma(src+dst), w_o = 1 - w_c.  Fusing both branches into one
+# kernel reads the [N, N] adjacency block from HBM ONCE per (fwd|bwd) instead
+# of twice and computes the sigmoid once — the adjacency is the largest
+# tensor in the step, so this is a direct HBM-roofline win.
+# ---------------------------------------------------------------------------
+
+
+def _branch_fwd(m, x, cdt):
+    dis_row, dis_col, invdeg_col = _norm_fields(m)
+    norm = (m * dis_row) * dis_col
+    y = jnp.dot(norm.astype(cdt), x.astype(cdt),
+                preferred_element_type=jnp.float32)
+    return y + x * invdeg_col
+
+
+def _att_dual_fwd_kernel(adj_ref, xc_ref, xo_ref, src_ref, dst_ref,
+                         oc_ref, oo_ref, *, cdt):
+    a = adj_ref[0].astype(jnp.float32)
+    n = a.shape[0]
+    src = src_ref[0].astype(jnp.float32)
+    dst = dst_ref[0].astype(jnp.float32)
+    sig = jax.nn.sigmoid(src + dst)
+    off = _offdiag(n)
+    a_off = jnp.where(off, a, 0.0)
+    mc = a_off * sig
+    mo = a_off - mc                      # a_off * (1 - sig)
+    oc_ref[0] = _branch_fwd(mc, xc_ref[0].astype(jnp.float32), cdt).astype(
+        oc_ref.dtype)
+    oo_ref[0] = _branch_fwd(mo, xo_ref[0].astype(jnp.float32), cdt).astype(
+        oo_ref.dtype)
+
+
+def _branch_bwd(m, x, g, cdt):
+    """Shared per-branch backward algebra (see _att_bwd_kernel docstring).
+    Returns (dx, dm) with dm = dL/dm_rs over the off-diagonal support."""
+    dis_row, dis_col, invdeg_col = _norm_fields(m)
+    mc = m.astype(cdt)
+    p = jax.lax.dot_general(
+        mc, (g * dis_col).astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx = p * dis_col + g * invdeg_col
+    u = jnp.dot(mc, (x * dis_col).astype(cdt),
+                preferred_element_type=jnp.float32)
+    gu = jnp.sum(g * u, axis=1, keepdims=True)
+    px = jnp.sum(p * x, axis=1, keepdims=True)
+    gx = jnp.sum(g * x, axis=1, keepdims=True)
+    t_col = -0.5 * (gu + px) * dis_col * dis_col * dis_col \
+        - gx * invdeg_col * invdeg_col
+    G = jax.lax.dot_general(
+        g.astype(cdt), x.astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dm = (G * dis_row) * dis_col + t_col.T
+    return dx, dm
+
+
+def _att_dual_bwd_kernel(adj_ref, xc_ref, xo_ref, src_ref, dst_ref,
+                         gc_ref, go_ref,
+                         dxc_ref, dxo_ref, dsrc_ref, ddst_ref, *, cdt):
+    a = adj_ref[0].astype(jnp.float32)
+    n = a.shape[0]
+    src = src_ref[0].astype(jnp.float32)
+    dst = dst_ref[0].astype(jnp.float32)
+    sig = jax.nn.sigmoid(src + dst)
+    off = _offdiag(n)
+    a_off = jnp.where(off, a, 0.0)
+    mc = a_off * sig
+    mo = a_off - mc
+    dxc, dmc = _branch_bwd(mc, xc_ref[0].astype(jnp.float32),
+                           gc_ref[0].astype(jnp.float32), cdt)
+    dxo, dmo = _branch_bwd(mo, xo_ref[0].astype(jnp.float32),
+                           go_ref[0].astype(jnp.float32), cdt)
+    dxc_ref[0] = dxc.astype(dxc_ref.dtype)
+    dxo_ref[0] = dxo.astype(dxo_ref.dtype)
+    # dw_c = a*dmc, dw_o = a*dmo; w_c = sig, w_o = 1-sig =>
+    # dpre = (dmc - dmo) * a_off * sig' with sig' = sig*(1-sig)
+    dpre = (dmc - dmo) * a_off * (sig * (1.0 - sig))
+    dsrc_ref[0] = jnp.sum(dpre, axis=0, keepdims=True).astype(dsrc_ref.dtype)
+    ddst_ref[0] = jnp.sum(dpre, axis=1, keepdims=True).astype(ddst_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_gcn_dense_att_dual(xc, xo, adj, src, dst):
+    """Both causal masked convs in one fused kernel.
+
+    == (fused_gcn_dense_att(xc, adj, src, dst, negate=False),
+        fused_gcn_dense_att(xo, adj, src, dst, negate=True))
+    but the adjacency is read once and the sigmoid computed once.
+    xc/xo: [B, N, H]; adj: [B, N, N]; src/dst: [B, N].
+    Differentiable in xc, xo, src, dst."""
+    out, _ = _att_dual_fwd(xc, xo, adj, src, dst)
+    return out
+
+
+def _att_dual_fwd(xc, xo, adj, src, dst):
+    B, n, _ = adj.shape
+    h = xc.shape[-1]
+    kern = functools.partial(_att_dual_fwd_kernel, cdt=xc.dtype)
+    oc, oo = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[_block((1, n, n)), _block((1, n, h)), _block((1, n, h)),
+                  _block((1, 1, n)), _block((1, n, 1))],
+        out_specs=[_block((1, n, h)), _block((1, n, h))],
+        out_shape=[jax.ShapeDtypeStruct((B, n, h), xc.dtype),
+                   jax.ShapeDtypeStruct((B, n, h), xo.dtype)],
+        interpret=_interpret(),
+    )(adj, xc, xo, src[:, None, :], dst[:, :, None])
+    return (oc, oo), (xc, xo, adj, src, dst)
+
+
+def _att_dual_bwd(res, grads):
+    xc, xo, adj, src, dst = res
+    gc, go = grads
+    B, n, _ = adj.shape
+    h = xc.shape[-1]
+    kern = functools.partial(_att_dual_bwd_kernel, cdt=xc.dtype)
+    dxc, dxo, dsrc, ddst = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[_block((1, n, n)), _block((1, n, h)), _block((1, n, h)),
+                  _block((1, 1, n)), _block((1, n, 1)),
+                  _block((1, n, h)), _block((1, n, h))],
+        out_specs=[_block((1, n, h)), _block((1, n, h)),
+                   _block((1, 1, n)), _block((1, n, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n, h), xc.dtype),
+            jax.ShapeDtypeStruct((B, n, h), xo.dtype),
+            jax.ShapeDtypeStruct((B, 1, n), src.dtype),
+            jax.ShapeDtypeStruct((B, n, 1), dst.dtype),
+        ],
+        interpret=_interpret(),
+    )(adj, xc, xo, src[:, None, :], dst[:, :, None], gc, go)
+    return dxc, dxo, jnp.zeros_like(adj), dsrc[:, 0, :], ddst[:, :, 0]
+
+
+fused_gcn_dense_att_dual.defvjp(
+    lambda xc, xo, adj, src, dst: _att_dual_fwd(xc, xo, adj, src, dst),
+    _att_dual_bwd,
+)

@@ -210,6 +210,47 @@ def train_causal_syn(
     }
 
 
+def evaluate_causal(
+    test_set: Sequence[HostGraph],
+    cfg: Config,
+    num_classes: int | None = None,
+    num_features: int = 0,
+):
+    """Inference / serving mode (``--inference``): restore the newest
+    checkpoint from ``--save_dir`` and run the 3-branch eval sweep only.
+
+    The reference declares ``--inference`` and ``--save_model`` but consumes
+    neither (opts.py:34-35; verified unconsumed, SURVEY.md §5) — here they are
+    a live train-once/serve-many path: ``--save_model`` checkpoints the best
+    val-epoch state, ``--inference`` serves it."""
+    budgets = compute_budgets(list(test_set), cfg.batch_size, cfg.layout)
+    loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
+                    budgets=budgets,
+                    spmm_tiles="auto" if cfg.use_pallas else False)
+    model = get_model(cfg, num_features, num_classes or cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, max(len(loader), 1),
+                        cfg.weight_decay)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = init_state(model, tx, next(iter(loader)), rng)
+    ckpt = Checkpointer(cfg.save_dir)
+    step = ckpt.latest_step()
+    if step is None:
+        raise FileNotFoundError(
+            f"--inference: no checkpoint found under {cfg.save_dir} "
+            "(train with --save_model first)")
+    restored, meta = ckpt.restore(template=state)
+    state = jax.device_put(restored)
+    eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
+    co, c, o = _eval_scan(eval_epoch, state, _stack_loader(loader), rng)
+    print(
+        "inference: ckpt epoch:[{}] | Test acc:[co:{:.2f},c:{:.2f},o:{:.2f}] "
+        "on {} graphs".format(
+            meta.get("epoch", step), co * 100, c * 100, o * 100,
+            len(test_set)))
+    return {"test_acc_co": co, "test_acc_c": c, "test_acc_o": o,
+            "ckpt_step": step}
+
+
 def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = True):
     """k-fold protocol on a real (TU) dataset — train_causal.py:63-160.
 

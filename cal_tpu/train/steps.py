@@ -32,8 +32,16 @@ class TrainState:
     step: jax.Array
 
 
-def _as_graph(batch):
-    return to_dense(batch) if isinstance(batch, PackedDenseBatch) else batch
+def _as_graph(batch, dtype=None):
+    """Materialize the device graph; ``dtype`` (the model's compute dtype)
+    lets the adjacency scatter directly into bf16 instead of f32 + a cast —
+    one fewer [B, N, N] HBM round trip per step in mixed-precision mode."""
+    return to_dense(batch, dtype) if isinstance(batch, PackedDenseBatch) else batch
+
+
+def _model_dtype(model):
+    dt = getattr(model, "dtype", None)
+    return None if dt is None or dt == jnp.float32 else dt
 
 
 def make_init_fn(model, causal: bool = True):
@@ -51,7 +59,7 @@ def make_init_fn(model, causal: bool = True):
 def init_state(
     model, tx, sample_batch, rng, causal: bool = True, init_fn=None
 ) -> TrainState:
-    g = _as_graph(sample_batch)
+    g = _as_graph(sample_batch, _model_dtype(model))
     p_rng, i_rng, d_rng = jax.random.split(rng, 3)
     rngs = {"params": p_rng, "intervention": i_rng, "dropout": d_rng}
     kwargs = {"eval_random": False} if causal else {}
@@ -73,8 +81,10 @@ def _causal_step_fn(model, tx, c_w, o_w, co_w, with_random: bool):
     """Un-jitted single-step body shared by the per-step and the
     device-side epoch-scan entry points."""
 
+    dt = _model_dtype(model)
+
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch)
+        g = _as_graph(batch, dt)
         i_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -160,9 +170,11 @@ def make_causal_eval_step(model, eval_random: bool):
     eval_random default False (opts.py:33): the intervention is identity at
     eval, co-branch = deterministic xc+xo (train_causal.py:202-223)."""
 
+    dt = _model_dtype(model)
+
     @jax.jit
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch)
+        g = _as_graph(batch, dt)
         c_logs, o_logs, co_logs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             g,
@@ -201,8 +213,10 @@ def _baseline_step_fn(model, tx):
     """Un-jitted NLL step body (train.py:88-106), shared by the per-step and
     epoch-scan entry points."""
 
+    dt = _model_dtype(model)
+
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch)
+        g = _as_graph(batch, dt)
         d_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -269,9 +283,11 @@ def make_baseline_eval_epoch(model):
 
 
 def make_baseline_eval_step(model):
+    dt = _model_dtype(model)
+
     @jax.jit
     def step(state: TrainState, batch):
-        g = _as_graph(batch)
+        g = _as_graph(batch, dt)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             g,

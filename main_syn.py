@@ -10,7 +10,7 @@ from cal_tpu.data.synthetic import (
     print_dataset_info,
 )
 from cal_tpu.train.baseline import train_baseline_syn
-from cal_tpu.train.causal import train_causal_syn
+from cal_tpu.train.causal import evaluate_causal, train_causal_syn
 from cal_tpu.utils.config import parse_args
 
 
@@ -41,7 +41,11 @@ def main():
     if cfg.model in ("GCN", "GIN", "GAT"):
         train_baseline_syn(train_set, val_set, test_set, cfg)
     elif cfg.model in ("CausalGCN", "CausalGIN", "CausalGAT"):
-        train_causal_syn(train_set, val_set, test_set, cfg)
+        if cfg.inference:
+            # serving mode: restore --save_dir checkpoint, eval-only
+            evaluate_causal(test_set, cfg)
+        else:
+            train_causal_syn(train_set, val_set, test_set, cfg)
     else:
         raise ValueError(cfg.model)
 

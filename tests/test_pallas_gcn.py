@@ -106,3 +106,42 @@ def test_model_pallas_vs_xla_dense():
     out_x = m_x.apply(vars_p, g, eval_random=False)
     for a, b in zip(out_p, out_x):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_dual_forward(data):
+    from cal_tpu.ops.pallas_gcn import fused_gcn_dense_att_dual
+
+    adj, x, src, dst = data
+    xc, xo = x, x[..., ::-1]
+    ref_c = gcn_aggregate_dense(
+        xc, adj, SigmoidEdgeWeight(src, dst, False).materialize())
+    ref_o = gcn_aggregate_dense(
+        xo, adj, SigmoidEdgeWeight(src, dst, True).materialize())
+    oc, oo = fused_gcn_dense_att_dual(xc, xo, adj, src, dst)
+    np.testing.assert_allclose(oc, ref_c, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(oo, ref_o, rtol=1e-5, atol=1e-5)
+
+
+def test_dual_grads(data):
+    from cal_tpu.ops.pallas_gcn import fused_gcn_dense_att_dual
+
+    adj, x, src, dst = data
+    xc, xo = x, jnp.tanh(x)
+    cot_c = jnp.sin(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape)
+    cot_o = jnp.cos(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape)
+
+    def ref_loss(vc, vo, s, d):
+        oc = gcn_aggregate_dense(
+            vc, adj, SigmoidEdgeWeight(s, d, False).materialize())
+        oo = gcn_aggregate_dense(
+            vo, adj, SigmoidEdgeWeight(s, d, True).materialize())
+        return jnp.vdot(oc, cot_c) + jnp.vdot(oo, cot_o)
+
+    def fused_loss(vc, vo, s, d):
+        oc, oo = fused_gcn_dense_att_dual(vc, vo, adj, s, d)
+        return jnp.vdot(oc, cot_c) + jnp.vdot(oo, cot_o)
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(xc, xo, src, dst)
+    out = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(xc, xo, src, dst)
+    for r, o, name in zip(ref, out, ("dxc", "dxo", "dsrc", "ddst")):
+        np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5, err_msg=name)

@@ -71,3 +71,19 @@ def test_scan_epoch_matches_per_step_loop(graphs):
     np.testing.assert_allclose(float(m_scan["loss"]), float(tot["loss"]),
                                rtol=1e-5)
     assert float(m_scan["n"]) == float(tot["n"])
+
+
+def test_inference_serving_roundtrip(tiny_split, tmp_path):
+    """--save_model checkpoints the best-val state; --inference restores it
+    and reproduces the exact test accuracies recorded at save time."""
+    from cal_tpu.train.causal import evaluate_causal
+
+    train, val, test = tiny_split
+    cfg = Config(model="CausalGCN", epochs=4, batch_size=32, hidden=16,
+                 layers=1, lr=0.01, save_model=True,
+                 save_dir=str(tmp_path / "ckpt"))
+    res = train_causal_syn(train, val, test, cfg, verbose=False)
+    out = evaluate_causal(test, cfg)
+    assert out["test_acc_co"] == pytest.approx(res["test_acc_co"], abs=1e-6)
+    assert out["test_acc_c"] == pytest.approx(res["test_acc_c"], abs=1e-6)
+    assert out["test_acc_o"] == pytest.approx(res["test_acc_o"], abs=1e-6)
