@@ -267,6 +267,90 @@ def to_dense(p: PackedDenseBatch, dtype=None) -> DenseGraphBatch:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraphBatch:
+    """Edge-partitioned padded batch — the context-parallel analog layout.
+
+    Built by ``parallel/partition.py`` for a ``Mesh(('dp', 'edge'))``; the
+    reference has no counterpart (it scales nothing, SURVEY.md §2.3) — the
+    scaling dimension of this workload is edges (SURVEY.md §5 long-context).
+
+    Layout invariants (host planner, parallel/partition.py):
+      * graphs are assigned to ``dp`` groups in contiguous slot blocks
+        (graph slot ids are GLOBAL, so pooling/losses are mesh-agnostic);
+      * within a group, nodes are packed contiguously and split into
+        ``edge``-many equal blocks of ``Vl`` rows (shard = owner);
+      * every edge lives on the shard that owns its RECEIVER, so segment
+        reductions and the GAT edge-softmax are fully shard-local;
+      * sender features cross shards via a precomputed boundary ("halo")
+        exchange: ``send_idx[p, d]`` lists the rows shard ``p`` ships to
+        shard ``d`` (one all_to_all of only the boundary rows per layer —
+        NOT a full [V, H] all_gather).
+
+    Node/edge leaves are global-shaped and shard as P(('dp', 'edge'));
+    graph leaves shard as P('dp').  The per-shard views below are what a
+    shard_map body sees.
+
+    Attributes:
+      x:           [V, F]   node features (dp-group-major, shard-major rows).
+      node_mask:   [V]      True for real nodes.
+      node_graph:  [V]      GLOBAL graph slot per node; padding -> G.
+      senders_tab: [E]      per-shard-local index into the shard's feature
+                            table ``concat([x_local (Vl rows), halo (n*S)])``.
+      senders_glb: [E]      dp-group-global sender id (degree psum).
+      receivers:   [E]      shard-local receiver id in [0, Vl); sorted
+                            non-decreasing within each shard.
+      edge_mask:   [E]      True for real edges.
+      send_idx:    [n_shards, n_edge, S]  local rows to send to each peer.
+      send_mask:   [n_shards, n_edge, S]  True for live send slots.
+      y:           [G]      labels; graph_mask [G] True for real graphs
+                            (contiguous prefix per dp group, NOT globally).
+      tiles:       optional per-shard block-COO plans (SpmmTiles with
+                   shard-local indices, leaves stacked [n_shards, ...]) —
+                   lets dp/edge-sharded training keep the Pallas SpMM.
+      mesh:        static — the ('dp', 'edge') Mesh this plan was built for.
+    """
+
+    x: jax.Array
+    node_mask: jax.Array
+    node_graph: jax.Array
+    senders_tab: jax.Array
+    senders_glb: jax.Array
+    receivers: jax.Array
+    edge_mask: jax.Array
+    send_idx: jax.Array
+    send_mask: jax.Array
+    y: jax.Array
+    graph_mask: jax.Array
+    tiles: tuple | None = None
+    mesh: object = dataclasses.field(metadata=dict(static=True), default=None)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def n_shards(self) -> int:
+        return self.send_idx.shape[0]
+
+    @property
+    def n_edge_shards(self) -> int:
+        return self.send_idx.shape[1]
+
+    @property
+    def halo_budget(self) -> int:
+        return self.send_idx.shape[2]
+
+    @property
+    def nodes_per_shard(self) -> int:
+        return self.x.shape[0] // self.n_shards
+
+
 @dataclasses.dataclass(frozen=True)
 class HostGraph:
     """A single un-batched graph on the host (NumPy)."""

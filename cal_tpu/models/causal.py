@@ -45,13 +45,22 @@ from cal_tpu.ops.attention import edge_attention, global_add_pool, node_attentio
 
 
 def intervention_permutation(rng, graph_mask: jax.Array) -> jax.Array:
-    """Uniform random permutation of the real-graph prefix (device-side).
+    """Uniform random permutation of the real graphs (device-side).
 
-    Returns perm [G] s.t. perm[i] is a random real graph for real i, and the
-    padded tail maps to itself-ish (harmless: masked out of the loss)."""
+    Returns perm [G] s.t. perm[i] is a uniformly random real graph for every
+    real slot i, and padded slots map to themselves (masked out of the loss).
+    Handles real slots at ANY positions — the single-device batcher puts them
+    in a contiguous prefix, but the edge-partitioned layout has one prefix
+    PER dp group (graph.py PartitionedGraphBatch)."""
     u = jax.random.uniform(rng, graph_mask.shape)
     u = jnp.where(graph_mask, u, jnp.inf)
-    return jnp.argsort(u)
+    order = jnp.argsort(u)              # random real slots first, padded last
+    rank = jnp.cumsum(graph_mask) - 1   # index of each real slot among reals
+    return jnp.where(
+        graph_mask,
+        order[jnp.clip(rank, 0, None)],
+        jnp.arange(graph_mask.shape[0]),
+    )
 
 
 class CausalGNN(nn.Module):
@@ -120,7 +129,7 @@ class CausalGNN(nn.Module):
                 w_c = SigmoidEdgeWeight(zeros, zeros, negate=False)
                 w_o = SigmoidEdgeWeight(zeros, zeros, negate=True)
             else:
-                shape = g.adj.shape if dense else g.senders.shape
+                shape = g.adj.shape if dense else g.edge_mask.shape
                 w_c = jnp.full(shape, 0.5, x.dtype)
                 w_o = jnp.full(shape, 0.5, x.dtype)
         else:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.graph import DenseGraphBatch, GraphBatch, PartitionedGraphBatch
 from cal_tpu.ops.gcn import gcn_aggregate
 from cal_tpu.ops.gat import gat_aggregate_dense, gat_aggregate_sparse
 from cal_tpu.ops.pallas_gat import flash_gat_dense
@@ -226,6 +226,15 @@ class GATConvLayer(nn.Module):
                     xh, g.adj, att_dst, att_src, self.dropout, rng
                 )
             out = out.reshape(bsz, n, self.heads * self.out_per_head)
+        elif isinstance(g, PartitionedGraphBatch):
+            from cal_tpu.parallel.edge_partition import (
+                partitioned_gat_aggregate)
+
+            v = x.shape[0]
+            xh = (x @ w).reshape(v, self.heads, self.out_per_head)
+            out = partitioned_gat_aggregate(
+                xh, g, att_dst, att_src, self.dropout, rng
+            ).reshape(v, self.heads * self.out_per_head)
         else:
             assert isinstance(g, GraphBatch)
             v = x.shape[0]

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.graph import DenseGraphBatch, GraphBatch, PartitionedGraphBatch
 from cal_tpu.ops.segment import segment_sum
 
 
@@ -48,6 +48,10 @@ def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array,
                     SigmoidEdgeWeight(src, dst, negate=True))
         att_c = jax.nn.sigmoid(src[:, None, :] + dst[:, :, None])  # [B, r, s]
         return att_c, 1.0 - att_c
+    if isinstance(g, PartitionedGraphBatch):
+        from cal_tpu.parallel.edge_partition import partitioned_edge_attention
+
+        return partitioned_edge_attention(x, g, w_src, w_dst, b)
     assert isinstance(g, GraphBatch)
     logits = (
         jnp.take(x, g.senders, axis=0) @ w_src
@@ -78,6 +82,13 @@ def global_add_pool(x, g):
     if isinstance(g, DenseGraphBatch):
         return jnp.sum(x * g.node_mask[..., None].astype(x.dtype), axis=1,
                        dtype=jnp.float32)
+    if isinstance(g, PartitionedGraphBatch):
+        # node_graph holds GLOBAL graph slots but restarts per dp group, so
+        # it is not globally sorted; XLA partitions the segment sum (psum
+        # over the edge axis) under the mesh-jitted step.
+        pooled = segment_sum(
+            x.astype(jnp.float32), g.node_graph, g.num_graphs + 1)
+        return pooled[: g.num_graphs]
     assert isinstance(g, GraphBatch)
     pooled = segment_sum(
         x.astype(jnp.float32), g.node_graph, g.num_graphs + 1,

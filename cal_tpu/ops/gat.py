@@ -77,7 +77,11 @@ def gat_aggregate_dense(
     denom = num.sum(axis=2, keepdims=True)
     alpha = num / denom
     alpha = _alpha_dropout(alpha, dropout_rate, dropout_rng)
-    return jnp.einsum("brsh,bshd->brhd", alpha, xh, preferred_element_type=xh.dtype)
+    # accumulate f32 like every other aggregate (bf16 sums over N messages
+    # would otherwise lose precision in mixed-precision mode).
+    return jnp.einsum(
+        "brsh,bshd->brhd", alpha, xh, preferred_element_type=jnp.float32
+    ).astype(xh.dtype)
 
 
 def gat_aggregate_sparse(

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.graph import DenseGraphBatch, GraphBatch, PartitionedGraphBatch
 from cal_tpu.ops.segment import segment_sum
 
 
@@ -114,6 +114,12 @@ def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
         elif edge_weight is None and use_pallas:
             return fused_gcn_dense(x, g.adj)
         return gcn_aggregate_dense(x, g.adj, edge_weight)
+    if isinstance(g, PartitionedGraphBatch):
+        # edge-partitioned layout: receiver-owned shards + halo exchange
+        # (parallel/edge_partition.py) inside a shard_map over g.mesh.
+        from cal_tpu.parallel.edge_partition import partitioned_gcn_aggregate
+
+        return partitioned_gcn_aggregate(x, g, edge_weight)
     assert isinstance(g, GraphBatch)
     if g.tiles is not None:
         from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_pallas

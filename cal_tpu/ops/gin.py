@@ -11,16 +11,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cal_tpu.graph import DenseGraphBatch, GraphBatch
+from cal_tpu.graph import DenseGraphBatch, GraphBatch, PartitionedGraphBatch
 from cal_tpu.ops.segment import segment_sum
 
 
 def gin_aggregate(x: jax.Array, g, eps: float = 0.0) -> jax.Array:
-    """(1+eps)*x + neighbor sum, either layout."""
+    """(1+eps)*x + neighbor sum, any layout."""
     if isinstance(g, DenseGraphBatch):
         agg = jnp.einsum("brs,bsh->brh", g.adj.astype(x.dtype), x,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return (1.0 + eps) * x + agg
+    if isinstance(g, PartitionedGraphBatch):
+        from cal_tpu.parallel.edge_partition import partitioned_gin_aggregate
+
+        return partitioned_gin_aggregate(x, g, eps)
     assert isinstance(g, GraphBatch)
     if g.tiles is not None:
         from cal_tpu.ops.pallas_spmm import coo_spmm

@@ -7,5 +7,15 @@ from cal_tpu.parallel.intervene import (
 from cal_tpu.parallel.edge_partition import (
     edge_partitioned_gcn_aggregate,
     edge_partitioned_gat_aggregate,
+    halo_exchange,
+    partitioned_edge_attention,
+    partitioned_gat_aggregate,
+    partitioned_gcn_aggregate,
+    partitioned_gin_aggregate,
     shard_edges,
+)
+from cal_tpu.parallel.partition import (
+    comms_stats,
+    partition_batch,
+    partition_budgets,
 )

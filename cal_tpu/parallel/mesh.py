@@ -20,7 +20,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cal_tpu.graph import DenseGraphBatch, GraphBatch, PackedDenseBatch
+from cal_tpu.graph import (
+    DenseGraphBatch,
+    GraphBatch,
+    PackedDenseBatch,
+    PartitionedGraphBatch,
+)
 
 
 def make_mesh(dp: int | None = None, edge: int = 1, devices=None) -> Mesh:
@@ -51,6 +56,19 @@ _SPARSE_SPECS = dict(
     x=P("dp"), senders=P("dp"), receivers=P("dp"), edge_mask=P("dp"),
     node_mask=P("dp"), node_graph=P("dp"), y=P("dp"), graph_mask=P("dp"),
 )
+# Edge-partitioned layout (graph.py PartitionedGraphBatch): node/edge arrays
+# shard over BOTH axes (dp-group-major, shard-major rows — the planner's
+# layout contract), graph arrays over dp only; per-shard tile plans (leaves
+# stacked [n_shards, ...]) shard like the edge arrays.
+_PART_SPECS = dict(
+    x=P(("dp", "edge")), node_mask=P(("dp", "edge")),
+    node_graph=P(("dp", "edge")), senders_tab=P(("dp", "edge")),
+    senders_glb=P(("dp", "edge")), receivers=P(("dp", "edge")),
+    edge_mask=P(("dp", "edge")),
+    send_idx=P(("dp", "edge"), None, None),
+    send_mask=P(("dp", "edge"), None, None),
+    y=P("dp"), graph_mask=P("dp"), tiles=P(("dp", "edge")),
+)
 
 
 def batch_pspecs(batch):
@@ -58,11 +76,17 @@ def batch_pspecs(batch):
         specs = _DENSE_SPECS
     elif isinstance(batch, PackedDenseBatch):
         specs = _PACKED_SPECS
+    elif isinstance(batch, PartitionedGraphBatch):
+        specs = _PART_SPECS
     elif isinstance(batch, GraphBatch):
         specs = _SPARSE_SPECS
     else:
         raise TypeError(type(batch))
-    return type(batch)(**{k: v for k, v in specs.items()})
+
+    def leaf_spec(path, _leaf):
+        return specs[path[0].name]
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, batch)
 
 
 def shard_batch(batch, mesh: Mesh):

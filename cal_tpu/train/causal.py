@@ -145,11 +145,13 @@ def train_causal_syn(
         upd_ep = int(meta.get("epoch", ckpt.latest_step()))
         start_epoch = int(meta.get("epoch", ckpt.latest_step())) + 1
         for _ in range(start_epoch - 1):
-            rng, _, _ = jax.random.split(rng, 3)
+            rng, _, _, _ = jax.random.split(rng, 4)
         print(f"resumed from checkpoint at epoch {start_epoch - 1} "
               f"(best val {best_val * 100:.2f})")
     for epoch in range(start_epoch, cfg.epochs + 1):
-        rng, e_rng, v_rng = jax.random.split(rng, 3)
+        # val and test get INDEPENDENT eval keys: sharing one would correlate
+        # the intervention shuffles across the two sweeps at --eval_random.
+        rng, e_rng, v_rng, t_rng = jax.random.split(rng, 4)
         t0 = time.time()
         if cfg.scan_epochs:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = (
@@ -157,14 +159,14 @@ def train_causal_syn(
             val_co, val_c, val_acc_o = _eval_scan(
                 eval_epoch, state, val_stacked, v_rng)
             test_co, test_c, test_o = _eval_scan(
-                eval_epoch, state, test_stacked, v_rng)
+                eval_epoch, state, test_stacked, t_rng)
         else:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
                 train_step, state, train_loader, e_rng)
             val_co, val_c, val_acc_o = _eval(
                 eval_step, state, val_loader, v_rng)
             test_co, test_c, test_o = _eval(
-                eval_step, state, test_loader, v_rng)
+                eval_step, state, test_loader, t_rng)
         if val_acc_o > best_val:
             best_val = val_acc_o
             upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
