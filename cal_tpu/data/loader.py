@@ -188,3 +188,51 @@ class Loader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class PartitionedLoader(Loader):
+    """Loader yielding ``PartitionedGraphBatch`` for a ``Mesh(('dp','edge'))``.
+
+    The host planner (parallel/partition.py) runs in the prefetch thread, so
+    edge-partition planning overlaps device compute exactly like packing does
+    for the single-device layouts.  Batches come out unsharded; the trainer
+    device-puts them with ``parallel.mesh.shard_batch`` (or stacks them and
+    uses ``shard_stacked`` for the scan-epoch path).
+    """
+
+    def __init__(
+        self,
+        graphs: Sequence[HostGraph],
+        batch_size: int,
+        mesh,
+        shuffle: bool = False,
+        budgets: dict | None = None,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        prefetch: int = 2,
+    ):
+        from cal_tpu.parallel.partition import partition_budgets
+
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.layout = "partitioned"
+        self.mesh = mesh
+        dp, ne = mesh.shape["dp"], mesh.shape["edge"]
+        self.budgets = dict(
+            budgets or partition_budgets(self.graphs, batch_size, dp, ne))
+        self.rng = np.random.default_rng(seed)
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._packed = None
+        self.spmm_tiles = False
+
+    def _make_batch(self, idx: np.ndarray):
+        from cal_tpu.parallel.partition import partition_batch
+
+        chunk = [self.graphs[j] for j in idx]
+        b = self.budgets
+        return partition_batch(
+            chunk, self.mesh, b["num_graphs"], b["node_budget"],
+            b["edge_budget_per_shard"], b["halo_budget"],
+        )

@@ -1,4 +1,9 @@
-from cal_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from cal_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_stacked,
+)
 from cal_tpu.parallel.dp import make_dp_causal_train_step, make_dp_causal_eval_step
 from cal_tpu.parallel.intervene import (
     allgather_intervention,

@@ -105,6 +105,16 @@ def shard_batch(batch, mesh: Mesh):
     return jax.device_put(batch, shardings)
 
 
+def shard_stacked(stacked, mesh: Mesh):
+    """Device-put a ``stack_batches`` result (leading scan axis) — the scan
+    axis is replicated, per-batch dims shard as in ``batch_pspecs``."""
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, P(None, *spec)),
+        batch_pspecs(stacked),
+    )
+    return jax.device_put(stacked, shardings)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) over the mesh."""
     s = NamedSharding(mesh, P())

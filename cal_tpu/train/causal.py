@@ -36,10 +36,12 @@ from cal_tpu.utils.config import Config
 from cal_tpu.utils.logging import MetricsLogger
 
 
-def _run_epoch(train_step, state, loader, rng):
+def _run_epoch(train_step, state, loader, rng, mesh=None):
     tot = {"loss": 0.0, "loss_c": 0.0, "loss_o": 0.0, "loss_co": 0.0,
            "correct_o": 0.0, "n": 0.0}
     for batch in loader:
+        if mesh is not None:
+            batch = _shard(batch, mesh)
         state, m = train_step(state, batch, rng)
         for k in tot:
             tot[k] += float(m[k])
@@ -48,22 +50,35 @@ def _run_epoch(train_step, state, loader, rng):
                    tot["loss_co"] / n, tot["correct_o"] / n)
 
 
-def _run_epoch_scan(epoch_fn, state, loader, rng):
+def _shard(batch, mesh):
+    from cal_tpu.parallel import shard_batch
+
+    return shard_batch(batch, mesh)
+
+
+def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
     """Device-side epoch: one dispatch for the whole epoch (steps.py
     make_causal_train_epoch).  Identical numerics to _run_epoch."""
     batches = list(loader)
     if not batches:
         return state, (0.0, 0.0, 0.0, 0.0, 0.0)
-    state, m = epoch_fn(state, stack_batches(batches), rng)
+    stacked = stack_batches(batches)
+    if mesh is not None:
+        from cal_tpu.parallel import shard_stacked
+
+        stacked = shard_stacked(stacked, mesh)
+    state, m = epoch_fn(state, stacked, rng)
     n = max(float(m["n"]), 1.0)
     return state, (float(m["loss"]) / n, float(m["loss_c"]) / n,
                    float(m["loss_o"]) / n, float(m["loss_co"]) / n,
                    float(m["correct_o"]) / n)
 
 
-def _eval(eval_step, state, loader, rng):
+def _eval(eval_step, state, loader, rng, mesh=None):
     tot = {"correct_co": 0.0, "correct_c": 0.0, "correct_o": 0.0, "n": 0.0}
     for batch in loader:
+        if mesh is not None:
+            batch = _shard(batch, mesh)
         m = eval_step(state, batch, rng)
         for k in tot:
             tot[k] += float(m[k])
@@ -82,9 +97,49 @@ def _eval_scan(eval_epoch, state, stacked, rng):
             float(m["correct_o"]) / n)
 
 
-def _stack_loader(loader):
+def _stack_loader(loader, mesh=None):
     batches = list(loader)
-    return stack_batches(batches) if batches else None
+    if not batches:
+        return None
+    stacked = stack_batches(batches)
+    if mesh is not None:
+        from cal_tpu.parallel import shard_stacked
+
+        stacked = shard_stacked(stacked, mesh)
+    return stacked
+
+
+def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
+                           shuffle_first=True):
+    """Build the (mesh | None) + one loader per graph set.
+
+    ``cfg.mesh_dp * cfg.mesh_edge > 1`` switches to the edge-partitioned
+    layout (PartitionedGraphBatch over a Mesh(('dp','edge'))); budgets are
+    computed over ``budget_graphs`` so every loader shares one compiled
+    program."""
+    seeds = seeds or [0] * len(sets)
+    if cfg.mesh_dp * cfg.mesh_edge > 1:
+        from cal_tpu.data.loader import PartitionedLoader
+        from cal_tpu.parallel import make_mesh
+        from cal_tpu.parallel.partition import partition_budgets
+
+        mesh = make_mesh(dp=cfg.mesh_dp, edge=cfg.mesh_edge)
+        budgets = partition_budgets(
+            budget_graphs, cfg.batch_size, cfg.mesh_dp, cfg.mesh_edge)
+        loaders = [
+            PartitionedLoader(s, cfg.batch_size, mesh, shuffle=(i == 0 and shuffle_first),
+                              budgets=budgets, seed=seeds[i])
+            for i, s in enumerate(sets)
+        ]
+        return mesh, loaders
+    budgets = compute_budgets(budget_graphs, cfg.batch_size, cfg.layout)
+    tiles = "auto" if cfg.use_pallas else False
+    loaders = [
+        Loader(s, cfg.batch_size, shuffle=(i == 0 and shuffle_first), layout=cfg.layout,
+               budgets=budgets, seed=seeds[i], spmm_tiles=tiles)
+        for i, s in enumerate(sets)
+    ]
+    return None, loaders
 
 
 def train_causal_syn(
@@ -96,16 +151,11 @@ def train_causal_syn(
 ):
     feature_dim = cfg.max_degree if cfg.feature_dim == -1 else cfg.feature_dim
     del feature_dim  # carried by the batches
-    budgets = compute_budgets(
-        list(train_set) + list(val_set) + list(test_set), cfg.batch_size, cfg.layout
+    mesh, (train_loader, val_loader, test_loader) = _make_mesh_and_loaders(
+        cfg, [train_set, val_set, test_set],
+        list(train_set) + list(val_set) + list(test_set),
+        seeds=[cfg.seed, 0, 0],
     )
-    train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
-                          layout=cfg.layout, budgets=budgets, seed=cfg.seed,
-                          spmm_tiles="auto" if cfg.use_pallas else False)
-    val_loader = Loader(val_set, cfg.batch_size, layout=cfg.layout, budgets=budgets,
-                        spmm_tiles="auto" if cfg.use_pallas else False)
-    test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout, budgets=budgets,
-                         spmm_tiles="auto" if cfg.use_pallas else False)
 
     model = get_model(cfg, 0, cfg.num_classes)
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
@@ -113,14 +163,18 @@ def train_causal_syn(
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = init_state(model, tx, next(iter(train_loader)), init_rng)
+    if mesh is not None:
+        from cal_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
 
     if cfg.scan_epochs:
         epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
                                            cfg.with_random)
         eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
         # eval loaders don't shuffle: pack + stack them once, reuse forever
-        val_stacked = _stack_loader(val_loader)
-        test_stacked = _stack_loader(test_loader)
+        val_stacked = _stack_loader(val_loader, mesh)
+        test_stacked = _stack_loader(test_loader, mesh)
     else:
         train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
                                             cfg.with_random)
@@ -155,18 +209,18 @@ def train_causal_syn(
         t0 = time.time()
         if cfg.scan_epochs:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = (
-                _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+                _run_epoch_scan(epoch_fn, state, train_loader, e_rng, mesh))
             val_co, val_c, val_acc_o = _eval_scan(
                 eval_epoch, state, val_stacked, v_rng)
             test_co, test_c, test_o = _eval_scan(
                 eval_epoch, state, test_stacked, t_rng)
         else:
             state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
-                train_step, state, train_loader, e_rng)
+                train_step, state, train_loader, e_rng, mesh)
             val_co, val_c, val_acc_o = _eval(
-                eval_step, state, val_loader, v_rng)
+                eval_step, state, val_loader, v_rng, mesh)
             test_co, test_c, test_o = _eval(
-                eval_step, state, test_loader, t_rng)
+                eval_step, state, test_loader, t_rng, mesh)
         if val_acc_o > best_val:
             best_val = val_acc_o
             upd_co, upd_c, upd_o, upd_ep = test_co, test_c, test_o, epoch
@@ -225,15 +279,17 @@ def evaluate_causal(
     neither (opts.py:34-35; verified unconsumed, SURVEY.md §5) — here they are
     a live train-once/serve-many path: ``--save_model`` checkpoints the best
     val-epoch state, ``--inference`` serves it."""
-    budgets = compute_budgets(list(test_set), cfg.batch_size, cfg.layout)
-    loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
-                    budgets=budgets,
-                    spmm_tiles="auto" if cfg.use_pallas else False)
+    mesh, (loader,) = _make_mesh_and_loaders(
+        cfg, [list(test_set)], list(test_set), shuffle_first=False)
     model = get_model(cfg, num_features, num_classes or cfg.num_classes)
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, max(len(loader), 1),
                         cfg.weight_decay)
     rng = jax.random.PRNGKey(cfg.seed)
     state = init_state(model, tx, next(iter(loader)), rng)
+    if mesh is not None:
+        from cal_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
     ckpt = Checkpointer(cfg.save_dir)
     step = ckpt.latest_step()
     if step is None:
@@ -243,7 +299,7 @@ def evaluate_causal(
     restored, meta = ckpt.restore(template=state)
     state = jax.device_put(restored)
     eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
-    co, c, o = _eval_scan(eval_epoch, state, _stack_loader(loader), rng)
+    co, c, o = _eval_scan(eval_epoch, state, _stack_loader(loader, mesh), rng)
     print(
         "inference: ckpt epoch:[{}] | Test acc:[co:{:.2f},c:{:.2f},o:{:.2f}] "
         "on {} graphs".format(
@@ -268,7 +324,6 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     train_accs = np.zeros((folds, cfg.epochs))
     random_guess = 1.0 / num_classes
 
-    budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
     # Model/optimizer/step functions are fold-independent (only params
     # differ) — build them ONCE so every fold after the first reuses the
     # compiled XLA programs instead of paying a full recompile.
@@ -295,33 +350,36 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     ):
         train_set = [graphs[i] for i in train_idx]
         test_set = [graphs[i] for i in test_idx]
-        train_loader = Loader(train_set, cfg.batch_size, shuffle=True,
-                              layout=cfg.layout, budgets=budgets,
-                              seed=cfg.seed + fold,
-                              spmm_tiles="auto" if cfg.use_pallas else False)
-        test_loader = Loader(test_set, cfg.batch_size, layout=cfg.layout,
-                             budgets=budgets, spmm_tiles="auto" if cfg.use_pallas else False)
+        mesh, (train_loader, test_loader) = _make_mesh_and_loaders(
+            cfg, [train_set, test_set], graphs,
+            seeds=[cfg.seed + fold, 0])
         if cfg.scan_epochs:
             # test loader doesn't shuffle: pack + stack once per fold
-            test_stacked = _stack_loader(test_loader)
+            test_stacked = _stack_loader(test_loader, mesh)
 
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
         state = init_state(model, tx, next(iter(train_loader)), init_rng,
                            init_fn=init_fn)
+        if mesh is not None:
+            from cal_tpu.parallel import replicate
+
+            state = replicate(state, mesh)
 
         best_test, best_ep, best_c, best_o = 0.0, 0, 0.0, 0.0
         for epoch in range(1, cfg.epochs + 1):
             rng, e_rng, v_rng = jax.random.split(rng, 3)
             if cfg.scan_epochs:
                 state, (loss, loss_c, loss_o, loss_co, train_acc) = (
-                    _run_epoch_scan(epoch_fn, state, train_loader, e_rng))
+                    _run_epoch_scan(epoch_fn, state, train_loader, e_rng,
+                                    mesh))
                 t_co, t_c, t_o = _eval_scan(
                     eval_epoch, state, test_stacked, v_rng)
             else:
                 state, (loss, loss_c, loss_o, loss_co, train_acc) = _run_epoch(
-                    train_step, state, train_loader, e_rng)
-                t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng)
+                    train_step, state, train_loader, e_rng, mesh)
+                t_co, t_c, t_o = _eval(eval_step, state, test_loader, v_rng,
+                                       mesh)
             train_accs[fold, epoch - 1] = train_acc
             test_accs[fold, epoch - 1] = t_co
             test_accs_c[fold, epoch - 1] = t_c

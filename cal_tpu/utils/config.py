@@ -79,6 +79,9 @@ class Config:
     node_budget: int = 0           # 0 -> auto (max graph size rounded up)
     edge_budget: int = 0           # 0 -> auto (sparse layout only)
     mesh_dp: int = 1               # data-parallel mesh size
+    mesh_edge: int = 1             # edge-partition mesh size (halo exchange);
+                                   # dp*edge > 1 trains on a Mesh(('dp','edge'))
+                                   # via the PartitionedGraphBatch layout
     use_pallas: bool = True        # use Pallas kernels where available
     scan_epochs: bool = True       # device-side epoch loop (1 dispatch/epoch)
     log_every: int = 1

@@ -202,6 +202,28 @@ def test_partitioned_model_forward_matches_single(graphs, model_name):
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_trainer_partitioned_smoke():
+    """The user-facing trainer runs edge-partitioned end to end
+    (cfg.mesh_dp=2, cfg.mesh_edge=4) and matches the single-device sparse
+    run's final losses (same graphs, same PRNG stream)."""
+    from cal_tpu.data.synthetic import (
+        dataset_bias_split, generate_synthetic_dataset)
+    from cal_tpu.train.causal import train_causal_syn
+
+    ds = generate_synthetic_dataset(data_num=8, node_num=4, max_degree=6,
+                                    seed=5)
+    train, val, test = dataset_bias_split(ds, bias=0.7, total=8 * 4,
+                                          seed=0)[:3]
+    base = dict(model="CausalGCN", epochs=3, batch_size=8, hidden=16,
+                layers=1, lr=0.01, layout="sparse", use_pallas=False)
+    r1 = train_causal_syn(train, val, test, Config(**base), verbose=False)
+    r2 = train_causal_syn(
+        train, val, test, Config(**base, mesh_dp=2, mesh_edge=4),
+        verbose=False)
+    assert r2["best_val_acc"] == pytest.approx(r1["best_val_acc"], abs=1e-6)
+    assert r2["test_acc_o"] == pytest.approx(r1["test_acc_o"], abs=1e-6)
+
+
 def test_partitioned_train_matches_single(graphs):
     """Several full causal train steps on the combined (dp=2, edge=4) mesh
     reproduce single-device params (VERDICT.md round-1 item 1)."""
