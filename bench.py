@@ -1,19 +1,34 @@
-"""Headline benchmark: causal-training throughput (edges/s) on one chip.
+"""Headline benchmarks: causal-training throughput (edges/s) on one chip.
 
-Workload = the reference's canonical dev loop (main_syn.py defaults:
-CausalGCN, hidden=128, layers=3, batch=128, synthetic BA/tree+motif graphs,
-SURVEY.md §3.2) — full jitted train step (forward, 3-branch loss, backward,
-Adam).  Prints ONE JSON line; ``vs_baseline`` compares against the
-reference-equivalent torch hot loop measured on this host's CPU
-(benchmarks/torch_baseline.py -> benchmarks/baseline_perf.json).
+Three tracked configs, one JSON line each (headline first):
+
+1. ``causal_train_edges_per_s`` — the reference's canonical dev loop
+   (main_syn.py defaults: CausalGCN, hidden=128, layers=3, batch=128,
+   synthetic BA/tree+motif graphs, SURVEY.md §3.2) — full jitted train step
+   (forward, 3-branch loss, backward, Adam) in the bf16 production config.
+2. ``causal_gat_train_edges_per_s`` — same loop with the CausalGAT backbone,
+   exercising the fused flash-GAT Pallas kernel (ops/pallas_gat.py).
+3. ``spmm_tiled_edges_per_s`` — the block-COO tiled Pallas SpMM
+   (ops/pallas_spmm.py) at DD/REDDIT scale (V=8192, E=131072, H=128), the
+   large-graph sparse hot kernel.
+
+``vs_baseline`` compares config 1 against the reference-equivalent torch hot
+loop measured on this host's CPU (benchmarks/torch_baseline.py ->
+benchmarks/baseline_perf.json).  ``pct_hbm_roofline`` is the honest on-chip
+number: XLA's bytes-accessed estimate (compiled cost analysis) over the
+measured time, as a fraction of peak HBM bandwidth (utils/profiling.py
+HW_PEAKS); for config 3 it is the kernel's algorithmic byte floor
+(utils/profiling.py spmm_roofline).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cal_tpu.data.loader import Loader, compute_budgets
@@ -23,17 +38,14 @@ from cal_tpu.train.optim import make_optimizer
 from cal_tpu.train.steps import (
     init_state, make_causal_train_epoch, stack_batches)
 from cal_tpu.utils.config import Config
+from cal_tpu.utils.profiling import HW_PEAKS, spmm_roofline, tpu_generation
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_PATH = os.path.join(_HERE, "benchmarks", "baseline_perf.json")
 
 
-def main():
+def _train_workload():
     data_num = 64                      # 64*4*2 = 512 graphs, batch-size 128
-    # dtype=bfloat16 is the validated TPU production mode: full canonical
-    # 100-epoch accuracy matches f32 (bf16 co:92.44/o:93.00 vs f32
-    # co:92.00/o:92.50, BASELINE.md "Measured" table); BN stats, pooling
-    # and readouts stay f32 (models/causal.py dtype docstring).
     cfg = Config(model="CausalGCN", bias=0.9, lr=0.002, min_lr=5e-6,
                  dtype="bfloat16")
     dataset = generate_synthetic_dataset(
@@ -46,17 +58,7 @@ def main():
     budgets = compute_budgets(train_set, cfg.batch_size, cfg.layout)
     loader = Loader(train_set, cfg.batch_size, shuffle=True, layout=cfg.layout,
                     budgets=budgets, seed=cfg.seed, drop_remainder=True)
-
-    model = get_model(cfg, 0, cfg.num_classes)
-    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(loader))
-    rng = jax.random.PRNGKey(cfg.seed)
     batches = list(loader)
-    state = init_state(model, tx, batches[0], rng)
-    # production path: device-side epoch loop (train/steps.py
-    # make_causal_train_epoch) — one dispatch per epoch, not per step
-    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
-    stacked = stack_batches(batches)
-    n_batches = len(batches)
 
     # mean real (directed) edges per batch — the throughput denominator.
     # NOTE: never np.asarray() the batch arrays themselves — on the tunneled
@@ -66,41 +68,172 @@ def main():
         lambda b: (b.edge_flat < b.x.shape[0] * b.x.shape[1] ** 2).sum()
     )
     edges_per_batch = float(np.mean([float(count(b)) for b in batches]))
+    return cfg, batches, edges_per_batch
+
+
+def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
+                       target_steps: int = 400) -> dict:
+    """Time the device-side epoch loop (production path: one dispatch per
+    epoch, train/steps.py make_causal_train_epoch).
+
+    dtype=bfloat16 is the validated TPU production mode: full canonical
+    100-epoch accuracy matches f32 (BASELINE.md "Measured" table); BN stats,
+    pooling and readouts stay f32 (models/causal.py dtype docstring)."""
+    cfg = cfg.replace(model=model_name)
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(batches))
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = init_state(model, tx, batches[0], rng)
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    stacked = stack_batches(batches)
+    n_batches = len(batches)
+
+    # XLA's own HBM-traffic estimate for one epoch invocation (the honest
+    # roofline numerator — counts actual buffer reads/writes at fusion
+    # boundaries, not a hand-waved floor).
+    try:
+        cost = epoch_fn.lower(state, stacked, rng).compile().cost_analysis()
+        bytes_per_epoch = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        bytes_per_epoch = 0.0
 
     # warmup: compile + let the runtime reach steady state.  Iterations
     # chain through `state`, so the device must execute serially; the final
     # host fetch of the loss forces completion (block_until_ready alone is
     # NOT sufficient on the tunneled backend — see benchmarks/sweep_spmm.py).
     n = 0
-    while n < 40:
+    while n < max(40, 2 * n_batches):
         state, m = epoch_fn(state, stacked, rng)
         n += n_batches
     _ = float(m["loss"])
 
     # timed region: epochs chain through `state` (serial by construction);
     # ONE host fetch at the end — any mid-loop fetch stalls the pipeline.
-    n_steps, t0 = 0, time.perf_counter()
-    while n_steps < 400:
+    n_steps = n_epochs = 0
+    t0 = time.perf_counter()
+    while n_steps < target_steps:
         state, m = epoch_fn(state, stacked, rng)
         n_steps += n_batches
+        n_epochs += 1
     _ = float(m["loss"])
     dt = time.perf_counter() - t0
 
-    steps_per_s = n_steps / dt
-    edges_per_s = steps_per_s * edges_per_batch
+    edges_per_s = n_steps / dt * edges_per_batch
+    out = {"edges_per_s": edges_per_s}
+    if bytes_per_epoch:
+        gbps = bytes_per_epoch * n_epochs / dt / 1e9
+        out["pct_hbm_roofline"] = round(
+            100.0 * gbps / HW_PEAKS[tpu_generation()]["hbm_gbps"], 1)
+    return out
 
+
+def bench_spmm_tiled(v: int = 8192, e: int = 131072, h: int = 128) -> dict:
+    """Block-COO tiled Pallas SpMM forward at large-graph scale — matches
+    spmm_roofline's cost model exactly (one gathered read + one scattered
+    write of H-wide rows per edge)."""
+    from cal_tpu.ops.pallas_spmm import (
+        NODE_BLOCK, TILE_EDGES, build_tiles, gcn_aggregate_sparse_pallas,
+        tile_budget_for)
+
+    rng = np.random.default_rng(0)
+    senders = rng.integers(0, v, size=e)
+    receivers = np.sort(rng.integers(0, v, size=e))
+    edge_mask = np.arange(e) < int(e * 0.9)           # 10% padding tail
+    live_edges = float(edge_mask.sum())
+    x = jnp.asarray(rng.standard_normal((v, h)).astype(np.float32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
+    tf = build_tiles(senders, receivers, v, tile_budget=budget)
+    tb = build_tiles(receivers, senders, v, tile_budget=budget)
+    s_j, r_j, m_j = (jnp.asarray(senders, jnp.int32),
+                     jnp.asarray(receivers, jnp.int32),
+                     jnp.asarray(edge_mask))
+
+    def agg(xv):
+        return gcn_aggregate_sparse_pallas(xv, s_j, r_j, m_j, tf, tb, w)
+
+    def agg_xla(xv):
+        from cal_tpu.ops.gcn import gcn_aggregate_sparse
+
+        return gcn_aggregate_sparse(xv, s_j, r_j, m_j, w)
+
+    iters = 50
+
+    def timeit(fn):
+        def chain(xv):
+            return jax.lax.scan(
+                lambda c, _: (c + 1e-9 * fn(c), None), xv, None,
+                length=iters)[0]
+
+        run = jax.jit(chain)
+        r = run(x)
+        _ = float(r[0, 0])        # compile + completion fence
+        t0 = time.perf_counter()
+        r = run(x)
+        _ = float(r[0, 0])
+        return (time.perf_counter() - t0) / iters
+
+    dt = timeit(agg)
+    dt_xla = timeit(agg_xla)
+
+    n_tiles = int(tf.iblk.shape[0])
+    rl = spmm_roofline(live_edges, h, dt, n_tiles=n_tiles,
+                       tile_edges=TILE_EDGES, node_block=NODE_BLOCK)
+    return {
+        "edges_per_s": rl["edges_per_s"],
+        "speedup_vs_xla": dt_xla / dt,
+        "pct_hbm_roofline": round(rl["pct_hbm_floor"], 1),
+        "pct_mxu_peak": round(rl["pct_mxu_peak"], 1),
+    }
+
+
+def main():
+    cfg, batches, edges_per_batch = _train_workload()
+
+    lines = []
+    r = bench_causal_train("CausalGCN", cfg, batches, edges_per_batch, 400)
     baseline = None
     if os.path.exists(_BASELINE_PATH):
         with open(_BASELINE_PATH) as f:
             baseline = json.load(f).get("train_edges_per_s")
-    vs = edges_per_s / baseline if baseline else 1.0
-
-    print(json.dumps({
+    line = {
         "metric": "causal_train_edges_per_s",
-        "value": round(edges_per_s, 1),
+        "value": round(r["edges_per_s"], 1),
         "unit": "edges/s",
-        "vs_baseline": round(vs, 2),
-    }))
+        "vs_baseline": round(r["edges_per_s"] / baseline, 2) if baseline
+        else 1.0,
+    }
+    if "pct_hbm_roofline" in r:
+        line["pct_hbm_roofline"] = r["pct_hbm_roofline"]
+    lines.append(line)
+
+    r = bench_causal_train("CausalGAT", cfg, batches, edges_per_batch, 200)
+    line = {
+        "metric": "causal_gat_train_edges_per_s",
+        "value": round(r["edges_per_s"], 1),
+        "unit": "edges/s",
+        # same torch-CPU denominator as the headline (the baseline workload
+        # is the CausalGCN twin; no GAT-specific torch baseline exists)
+        "vs_baseline": round(r["edges_per_s"] / baseline, 2) if baseline
+        else 1.0,
+    }
+    if "pct_hbm_roofline" in r:
+        line["pct_hbm_roofline"] = r["pct_hbm_roofline"]
+    lines.append(line)
+
+    r = bench_spmm_tiled()
+    lines.append({
+        "metric": "spmm_tiled_edges_per_s",
+        "value": round(r["edges_per_s"], 1),
+        "unit": "edges/s",
+        # the in-run XLA segment-sum forward of the same aggregate
+        "vs_baseline": round(r["speedup_vs_xla"], 2),
+        "pct_hbm_roofline": r["pct_hbm_roofline"],
+        "pct_mxu_peak": r["pct_mxu_peak"],
+    })
+
+    for line in lines:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

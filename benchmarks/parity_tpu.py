@@ -178,11 +178,49 @@ def spmm_parity():
     check("grad dw (SDDMM)", gf[1], gr[1], 1e-4)
 
 
+def gat_sparse_parity():
+    print("multi-head tiled SpMM (sparse GAT) vs gat_aggregate_sparse (f32):")
+    from cal_tpu.ops.gat import gat_aggregate_sparse, gat_aggregate_sparse_pallas
+
+    rng = np.random.default_rng(4)
+    V, E, heads, d = 4096, 65536, 4, 32
+    senders = rng.integers(0, V, size=E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, V, size=E)).astype(np.int32)
+    edge_mask = np.arange(E) < int(E * 0.9)
+    xh = jnp.asarray(rng.standard_normal((V, heads, d)), jnp.float32)
+    att_dst = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+    att_src = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+    budget = tile_budget_for(E, V, NODE_BLOCK, TILE_EDGES)
+    tf = build_tiles(senders, receivers, V, tile_budget=budget)
+    tb = build_tiles(receivers, senders, V, tile_budget=budget)
+    s, r, m = (jnp.asarray(senders), jnp.asarray(receivers),
+               jnp.asarray(edge_mask))
+
+    ref_fn = lambda xh: gat_aggregate_sparse(xh, s, r, m, att_dst, att_src)
+    got_fn = lambda xh: gat_aggregate_sparse_pallas(
+        xh, s, r, m, att_dst, att_src, tf, tb)
+    check("fwd", jax.jit(got_fn)(xh), jax.jit(ref_fn)(xh), 1e-4)
+
+    gr = jax.jit(jax.grad(lambda xh: jnp.sum(ref_fn(xh) ** 2)))(xh)
+    gf = jax.jit(jax.grad(lambda xh: jnp.sum(got_fn(xh) ** 2)))(xh)
+    # grad flows through the mh-SDDMM dcoef -> softmax -> scores chain;
+    # hardware f32 MXU precision tolerance as for the other kernels
+    check("grad dxh", gf, gr, 1e-2)
+
+    k = jax.random.PRNGKey(9)
+    refd = jax.jit(lambda xh: gat_aggregate_sparse(
+        xh, s, r, m, att_dst, att_src, 0.2, k))(xh)
+    gotd = jax.jit(lambda xh: gat_aggregate_sparse_pallas(
+        xh, s, r, m, att_dst, att_src, tf, tb, 0.2, k))(xh)
+    check("dropout fwd (same key)", gotd, refd, 1e-4)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
     gcn_dense_parity()
     spmm_parity()
+    gat_sparse_parity()
     if FAILS:
         raise SystemExit(f"PARITY FAILURES: {FAILS}")
     print("all on-TPU kernel parities OK")

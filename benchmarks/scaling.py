@@ -106,6 +106,68 @@ def main():
             "overhead_x": round(overhead, 3),
         }))
 
+    # --- edge axis: edge-partitioned train step vs single-device sparse ---
+    # (the context-parallel analog; comms columns quantify the halo design:
+    # halo_rows = boundary rows actually exchanged per layer vs the
+    # (n-1)*V rows a naive all_gather would ship — SURVEY.md §5)
+    from cal_tpu.graph import batch_graphs, pad_sizes_for
+    from cal_tpu.parallel import (
+        comms_stats, partition_batch, partition_budgets, replicate as _rep,
+        shard_batch as _shard)
+    from cal_tpu.train.steps import make_causal_train_step
+
+    bs = args.per_dev_batch * args.devices
+    chunk = dataset[:bs]
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, 1, 0.0)
+    rng = jax.random.PRNGKey(cfg.seed)
+    step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
+
+    def measure_sparse():
+        pn, pe = pad_sizes_for(chunk, bs)
+        b = batch_graphs(chunk, bs, pn, pe)
+        st = init_state(model, tx, b, rng)
+        st, m = step(st, b, rng)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            st, m = step(st, b, rng)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.steps
+        return sum(g.num_edges for g in chunk) / dt
+
+    def measure_edge(ne):
+        mesh = make_mesh(dp=1, edge=ne, devices=jax.devices()[:ne])
+        bud = partition_budgets(chunk, bs, 1, ne)
+        pb = partition_batch(chunk, mesh, bud["num_graphs"],
+                             bud["node_budget"],
+                             bud["edge_budget_per_shard"],
+                             bud["halo_budget"])
+        st = _rep(init_state(model, tx, pb, rng), mesh)
+        sb = _shard(pb, mesh)
+        st, m = step(st, sb, rng)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            st, m = step(st, sb, rng)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.steps
+        return sum(g.num_edges for g in chunk) / dt, comms_stats(pb)
+
+    eps_sp = measure_sparse()
+    for n in sizes:
+        eps_e, comms = measure_edge(n)
+        print(json.dumps({
+            "metric": "edge_sharding_overhead", "edge_shards": n,
+            "global_batch": bs,
+            "edge_part_edges_per_s": round(eps_e, 1),
+            "single_sparse_edges_per_s": round(eps_sp, 1),
+            "overhead_x": round(eps_sp / eps_e if eps_e else float("inf"), 3),
+            "halo_rows_per_layer": comms["halo_rows"],
+            "reduction_vs_allgather": round(
+                comms["reduction_vs_allgather"], 2),
+        }))
+
 
 if __name__ == "__main__":
     main()

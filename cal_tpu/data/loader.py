@@ -210,9 +210,11 @@ class PartitionedLoader(Loader):
         seed: int = 0,
         drop_remainder: bool = False,
         prefetch: int = 2,
+        spmm_tiles: bool | str = False,
     ):
         from cal_tpu.parallel.partition import partition_budgets
 
+        assert spmm_tiles in (True, False, "auto")
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -225,7 +227,12 @@ class PartitionedLoader(Loader):
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._packed = None
-        self.spmm_tiles = False
+        if spmm_tiles == "auto":
+            # same crossover as the single-device loader, at PER-SHARD scale
+            # (Vl rows per shard own the scatter ranges)
+            vl = self.budgets["node_budget"] // (dp * ne)
+            spmm_tiles = vl >= 2048
+        self.spmm_tiles = bool(spmm_tiles)
 
     def _make_batch(self, idx: np.ndarray):
         from cal_tpu.parallel.partition import partition_batch
@@ -235,4 +242,5 @@ class PartitionedLoader(Loader):
         return partition_batch(
             chunk, self.mesh, b["num_graphs"], b["node_budget"],
             b["edge_budget_per_shard"], b["halo_budget"],
+            spmm_tiles=self.spmm_tiles,
         )

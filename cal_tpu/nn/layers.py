@@ -239,10 +239,19 @@ class GATConvLayer(nn.Module):
             assert isinstance(g, GraphBatch)
             v = x.shape[0]
             xh = (x @ w).reshape(v, self.heads, self.out_per_head)
-            out = gat_aggregate_sparse(
-                xh, g.senders, g.receivers, g.edge_mask,
-                att_dst, att_src, self.dropout, rng,
-            )
+            if g.tiles is not None and self.use_flash:
+                from cal_tpu.ops.gat import gat_aggregate_sparse_pallas
+
+                tf, tb = g.tiles
+                out = gat_aggregate_sparse_pallas(
+                    xh, g.senders, g.receivers, g.edge_mask,
+                    att_dst, att_src, tf, tb, self.dropout, rng,
+                )
+            else:
+                out = gat_aggregate_sparse(
+                    xh, g.senders, g.receivers, g.edge_mask,
+                    att_dst, att_src, self.dropout, rng,
+                )
             out = out.reshape(v, self.heads * self.out_per_head)
         return out + b
 

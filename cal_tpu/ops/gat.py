@@ -125,3 +125,60 @@ def gat_aggregate_sparse(
     msg = alpha_e[..., None] * jnp.take(xh, senders, axis=0)
     out = segment_sum(msg, receivers, num_nodes, indices_are_sorted)
     return out + alpha_self[..., None] * xh
+
+
+def gat_aggregate_sparse_pallas(
+    xh: jax.Array,
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+    att_dst: jax.Array,
+    att_src: jax.Array,
+    tiles_fwd,
+    tiles_bwd,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    """Sparse GAT with the message aggregation in the multi-head tiled
+    Pallas kernel (ops/pallas_spmm.py coo_spmm_mh) — same numerics as
+    ``gat_aggregate_sparse`` (PyG-1.1.0 GATConv), parity-tested.
+
+    The [E, heads]-scalar score/softmax chain stays in XLA (cheap: E*heads
+    scalars); the hot part — gathering xh[senders], weighting per head and
+    scatter-adding to receivers, which in XLA materializes an [E, heads, d]
+    message tensor — runs in the tiled kernel over the SAME structure plans
+    (``GraphBatch.tiles``) the GCN convs use.  Dropout is applied to the
+    normalized alphas BEFORE the kernel, so the kernel stays deterministic
+    and the custom VJP (SDDMM dcoef) is exact.
+    """
+    num_nodes, heads, d = xh.shape
+    xf = xh.astype(jnp.float32)
+    ti = jnp.einsum("vhd,hd->vh", xf, att_dst.astype(jnp.float32))
+    tj = jnp.einsum("vhd,hd->vh", xf, att_src.astype(jnp.float32))
+    live = edge_mask & (senders != receivers)
+    score = jax.nn.leaky_relu(
+        ti[receivers] + tj[senders], negative_slope=NEG_SLOPE)
+    score = jnp.where(live[:, None], score, _BIG_NEG)
+    self_score = jax.nn.leaky_relu(ti + tj, negative_slope=NEG_SLOPE)
+    seg_m = segment_max(score, receivers, num_nodes, indices_are_sorted)
+    m = jnp.maximum(jnp.where(jnp.isfinite(seg_m), seg_m, _BIG_NEG),
+                    self_score)
+    num_e = jnp.where(live[:, None], jnp.exp(score - m[receivers]), 0.0)
+    num_self = jnp.exp(self_score - m)
+    denom = segment_sum(num_e, receivers, num_nodes,
+                        indices_are_sorted) + num_self
+    alpha_e = num_e / denom[receivers]
+    alpha_self = num_self / denom
+    if dropout_rng is not None and dropout_rate > 0.0:
+        k1, k2 = jax.random.split(dropout_rng)
+        alpha_e = _alpha_dropout(alpha_e, dropout_rate, k1)
+        alpha_self = _alpha_dropout(alpha_self, dropout_rate, k2)
+    from cal_tpu.ops.pallas_spmm import coo_spmm_mh
+
+    coef_ext = jnp.concatenate(
+        [alpha_e, jnp.zeros((1, heads), jnp.float32)], axis=0)
+    out = coo_spmm_mh(xf.reshape(num_nodes, heads * d), coef_ext,
+                      tiles_fwd, tiles_bwd, heads, tiles_fwd.node_block)
+    out = out.reshape(num_nodes, heads, d) + alpha_self[..., None] * xf
+    return out.astype(xh.dtype)

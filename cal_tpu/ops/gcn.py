@@ -101,8 +101,7 @@ def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
     tiles / XLA segment).  ``edge_weight`` may be a dense [B, N, N] array or
     a factored ``SigmoidEdgeWeight`` (the causal attention weights in
     un-materialized form — the fused kernel rebuilds them in VMEM)."""
-    from cal_tpu.ops.pallas_gcn import (
-        SigmoidEdgeWeight, fused_gcn_dense, fused_gcn_dense_att)
+    from cal_tpu.ops.pallas_gcn import SigmoidEdgeWeight, fused_gcn_dense_att
 
     if isinstance(g, DenseGraphBatch):
         if isinstance(edge_weight, SigmoidEdgeWeight):
@@ -111,8 +110,12 @@ def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
                     x, g.adj, edge_weight.src, edge_weight.dst,
                     edge_weight.negate)
             edge_weight = edge_weight.materialize()
-        elif edge_weight is None and use_pallas:
-            return fused_gcn_dense(x, g.adj)
+        # NOTE: the UNWEIGHTED backbone conv deliberately stays on XLA even
+        # at use_pallas=True: the fused_gcn_dense Pallas kernel costs ~3M
+        # edges/s in the full bf16 model (35.3M vs 38.3M measured on chip)
+        # because it breaks XLA's BN/ReLU fusion chain around the conv.  The
+        # attention-weighted kernels (fused_gcn_dense_att[_dual]) DO win
+        # (~+1.5M) — they avoid materializing the [B, N, N] weights.
         return gcn_aggregate_dense(x, g.adj, edge_weight)
     if isinstance(g, PartitionedGraphBatch):
         # edge-partitioned layout: receiver-owned shards + halo exchange

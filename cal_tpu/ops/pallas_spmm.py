@@ -332,6 +332,174 @@ def _coo_bwd(node_block, res, g):
 coo_spmm.defvjp(_coo_fwd, _coo_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Multi-head variant (sparse GAT): per-edge coefficients differ PER HEAD.
+#
+# x arrives as [V, heads*d] (heads concatenated on the lane dim); coef is
+# [E, heads] (the attention weights alpha).  In-kernel the [T, heads]
+# coefficient tile expands to [T, heads*d] with one extra MXU matmul against
+# a constant 0/1 block-broadcast matrix — so the kernel never materializes
+# the [E, heads, d] message tensor that makes the XLA sparse-GAT path
+# HBM-bound (ops/gat.py gat_aggregate_sparse msg = alpha[..., None] * xh).
+# Reference semantics: PyG-1.1.0 GATConv aggregation (SURVEY.md §2.2 GATConv
+# row calls for exactly this SDDMM+segment-softmax+SpMM kernel family).
+# ---------------------------------------------------------------------------
+
+
+def _bcast_matrix(heads: int, width: int, dtype):
+    """bcast[h, j] = 1 iff column j belongs to head h (j // (width/heads))."""
+    d = width // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (heads, width), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (heads, width), 1)
+    return (col // d == row).astype(dtype)
+
+
+def _spmm_mh_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
+                    x_ref, out_ref, *, mm_dtype, heads):
+    del jarr
+    t = pl.program_id(0)
+    nb = out_ref.shape[0]
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    bc = _bcast_matrix(heads, x_ref.shape[1], jnp.float32)
+    cexp = jnp.dot(coef_ref[0], bc, preferred_element_type=jnp.float32,
+                   precision=_mm_precision(jnp.float32))
+    msg = msg * cexp
+    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(first[t] == 1)
+    def _():
+        out_ref[:] = upd
+
+    @pl.when(first[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + upd
+
+
+def _sddmm_mh_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref,
+                     dcoef_ref, *, mm_dtype, heads):
+    del iarr, jarr
+    prec = _mm_precision(mm_dtype)
+    a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype),
+                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype),
+                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    # per-head row sums of a*b: [T, heads*d] @ bcast^T -> [T, heads]
+    bc = _bcast_matrix(heads, x_ref.shape[1], jnp.float32)
+    dcoef_ref[0] = jax.lax.dot_general(
+        a * b, bc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(jnp.float32))
+
+
+def _spmm_mh_call(x, coef_t, tiles, node_block, heads):
+    n_tiles, T = tiles.sloc.shape
+    H = x.shape[1]
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((1, T, heads), lambda t, i, j, f: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H), lambda t, i, j, f: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, H), lambda t, i, j, f: (i[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    return pl.pallas_call(
+        functools.partial(_spmm_mh_kernel, mm_dtype=mm_dtype, heads=heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sloc), lift(tiles.rloc), coef_t, x)
+
+
+def _sddmm_mh_call(x, g, tiles, node_block, heads):
+    n_tiles, T = tiles.sloc.shape
+    H = x.shape[1]
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((node_block, H), lambda t, i, j: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H), lambda t, i, j: (i[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, heads), lambda t, i, j: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_sddmm_mh_kernel, mm_dtype=mm_dtype, heads=heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, T, heads), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc), x, g)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def coo_spmm_mh(x, coef_ext, tiles_fwd, tiles_bwd, heads,
+                node_block=NODE_BLOCK):
+    """out[r, h*d:(h+1)*d] = sum_e coef[e, h] * x[s_e, h*d:(h+1)*d] —
+    differentiable multi-head tiled SpMM (the GAT message aggregation).
+
+    Args:
+      x:         [V, heads*d] f32, V a multiple of ``node_block``.
+      coef_ext:  [E + 1, heads] per-edge-per-head coefficients with a
+                 trailing zero row (the target of padding-slot perm
+                 entries).  Dead/self-loop edges must already be zeroed.
+      tiles_fwd/tiles_bwd: the SAME structure plans as coo_spmm (they are
+                 weight-free, so one plan serves GCN and GAT on a batch).
+    """
+    out, _ = _coo_mh_fwd(x, coef_ext, tiles_fwd, tiles_bwd, heads, node_block)
+    return out
+
+
+def _coo_mh_fwd(x, coef_ext, tiles_fwd, tiles_bwd, heads, node_block):
+    coef_t = jnp.take(coef_ext, tiles_fwd.perm, axis=0)   # [n_tiles, T, h]
+    out = _spmm_mh_call(x, coef_t, tiles_fwd, node_block, heads)
+    return out, (x, coef_ext, tiles_fwd, tiles_bwd)
+
+
+def _coo_mh_bwd(heads, node_block, res, g):
+    x, coef_ext, tiles_fwd, tiles_bwd = res
+    g = g.astype(jnp.float32)
+    coef_tb = jnp.take(coef_ext, tiles_bwd.perm, axis=0)
+    dx = _spmm_mh_call(g, coef_tb, tiles_bwd, node_block, heads)
+    dcoef_t = _sddmm_mh_call(x, g, tiles_fwd, node_block, heads)
+    dcoef = jnp.zeros_like(coef_ext).at[tiles_fwd.perm.ravel()].add(
+        dcoef_t.reshape(-1, heads))
+    dcoef = dcoef.at[-1].set(0.0)  # padding-slot garbage lands here
+    zeros_like_tiles = lambda t: jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
+    return dx, dcoef, zeros_like_tiles(tiles_fwd), zeros_like_tiles(tiles_bwd)
+
+
+coo_spmm_mh.defvjp(_coo_mh_fwd, _coo_mh_bwd)
+
+
 def gcn_aggregate_sparse_pallas(
     x: jax.Array,
     senders: jax.Array,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,12 +74,22 @@ def partition_batch(
     node_budget: int,
     edge_budget_per_shard: int,
     halo_budget: int,
+    spmm_tiles: bool = False,
+    node_block: int | None = None,
+    tile_edges: int | None = None,
 ) -> PartitionedGraphBatch:
     """Collate host graphs into a ``PartitionedGraphBatch`` for ``mesh``.
 
     Graph slot assignment is sequential-block: group k gets graphs
     [k*G/dp, (k+1)*G/dp) — slot ids equal input order, so single-device and
     partitioned runs see the SAME intervention permutation stream.
+
+    ``spmm_tiles=True`` additionally builds PER-SHARD block-COO tile plans
+    (ops/pallas_spmm.py) over each shard's local feature table
+    ``[x_local (Vl rows); halo (n*S rows)]`` so dp/edge-sharded training
+    keeps the Pallas SpMM — the plans use shard-local table indices, which
+    is what the single-device ``GraphBatch.tiles`` (global indices) cannot
+    give a sharded run.
     """
     dp, ne = mesh.shape["dp"], mesh.shape["edge"]
     n_shards = dp * ne
@@ -166,6 +177,27 @@ def partition_batch(
             receivers[gid, : len(e_s)] = (e_r - es * vl).astype(np.int32)
             edge_mask[gid, : len(e_s)] = True
 
+    tiles = None
+    if spmm_tiles:
+        from cal_tpu.ops import pallas_spmm as _ps
+
+        nb_blk = node_block or _ps.NODE_BLOCK
+        te = tile_edges or _ps.TILE_EDGES
+        # plans index the shard's feature table [x_local; halo], padded to a
+        # node-block boundary (edge_partition._gcn_tiled_body pads to match)
+        table_pad = _round_up(vl + ne * s_bud, nb_blk)
+        budget = _ps.tile_budget_for(ep, table_pad, nb_blk, te)
+        plans_f, plans_b = [], []
+        for gid in range(n_shards):
+            s_tab, recv = senders_tab[gid], receivers[gid]
+            plans_f.append(_ps.build_tiles(
+                s_tab, recv, table_pad, nb_blk, te, budget))
+            plans_b.append(_ps.build_tiles(
+                recv, s_tab, table_pad, nb_blk, te, budget))
+        stack = lambda plans: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *plans)
+        tiles = (stack(plans_f), stack(plans_b))
+
     return PartitionedGraphBatch(
         x=jnp.asarray(x),
         node_mask=jnp.asarray(node_mask),
@@ -178,6 +210,7 @@ def partition_batch(
         send_mask=jnp.asarray(send_mask),
         y=jnp.asarray(y),
         graph_mask=jnp.asarray(graph_mask),
+        tiles=tiles,
         mesh=mesh,
     )
 

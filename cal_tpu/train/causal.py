@@ -128,7 +128,8 @@ def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
             budget_graphs, cfg.batch_size, cfg.mesh_dp, cfg.mesh_edge)
         loaders = [
             PartitionedLoader(s, cfg.batch_size, mesh, shuffle=(i == 0 and shuffle_first),
-                              budgets=budgets, seed=seeds[i])
+                              budgets=budgets, seed=seeds[i],
+                              spmm_tiles="auto" if cfg.use_pallas else False)
             for i, s in enumerate(sets)
         ]
         return mesh, loaders

@@ -168,6 +168,48 @@ def test_partitioned_gat_matches_sparse(graphs, rng, dp, ne):
     )
 
 
+@pytest.mark.parametrize("dp,ne", [(2, 4), (4, 2)])
+def test_partitioned_gcn_tiled_matches_sparse(graphs, rng, dp, ne):
+    """Per-shard block-COO Pallas tile plans (interpret mode on CPU) under
+    the halo-exchange aggregate reproduce the XLA sparse reference — the
+    dp-sharded analog of GraphBatch.tiles (VERDICT.md round-1 item 6)."""
+    gs = graphs[:8]
+    ref_b = _ref_batch(gs)
+    mesh = make_mesh(dp=dp, edge=ne)
+    bud = partition_budgets(gs, len(gs), dp, ne)
+    pb = partition_batch(
+        gs, mesh, bud["num_graphs"], bud["node_budget"],
+        bud["edge_budget_per_shard"], bud["halo_budget"],
+        spmm_tiles=True, node_block=8, tile_edges=8,
+    )
+    assert pb.tiles is not None
+    h = 8
+    x_ref = rng.standard_normal((ref_b.num_nodes, h)).astype(np.float32)
+    ref = gcn_aggregate_sparse(
+        jnp.asarray(x_ref), ref_b.senders, ref_b.receivers, ref_b.edge_mask)
+    out = jax.jit(partitioned_gcn_aggregate)(
+        jnp.asarray(_scatter_x(x_ref, ref_b, pb)), pb)
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(pb.node_mask)],
+        np.asarray(ref)[np.asarray(ref_b.node_mask)],
+        rtol=2e-5, atol=2e-5,
+    )
+    # gradient parity (custom-VJP kernels + halo all_to_all transpose) vs
+    # the tile-free partitioned aggregate
+    import dataclasses
+
+    pb_nt = dataclasses.replace(pb, tiles=None)
+    ew = jnp.asarray(rng.random(pb.edge_mask.shape[0]).astype(np.float32))
+    xp = jnp.asarray(_scatter_x(x_ref, ref_b, pb))
+    f = lambda p: lambda x, w: (partitioned_gcn_aggregate(x, p, w) ** 2).sum()
+    gx, gw = jax.jit(jax.grad(f(pb), argnums=(0, 1)))(xp, ew)
+    rx, rw = jax.jit(jax.grad(f(pb_nt), argnums=(0, 1)))(xp, ew)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_comms_stats_beat_allgather(graphs):
     _, pb = _make_part(graphs[:8], dp=2, ne=4)
     st = comms_stats(pb)
