@@ -228,6 +228,15 @@ def flash_gat_dense(
     att_dst/att_src [heads, d].  Returns [B, N, heads, d].
     """
     B, n, heads, d = xh.shape
+    if (dropout_rng is not None and dropout_rate > 0.0
+            and jax.default_backend() != "tpu"):
+        # interpreter mode cannot lower the TPU PRNG primitives the
+        # in-kernel dropout uses — fall back to the XLA reference (CPU CI /
+        # smoke runs only; same attention semantics, different dropout bits)
+        from cal_tpu.ops.gat import gat_aggregate_dense
+
+        return gat_aggregate_dense(xh, adj, att_dst, att_src,
+                                   dropout_rate, dropout_rng)
     ti = jnp.einsum("bnhd,hd->bnh", xh, att_dst)
     tj = jnp.einsum("bnhd,hd->bnh", xh, att_src)
     xh_flat = xh.reshape(B, n, heads * d).astype(jnp.float32)

@@ -310,6 +310,42 @@ def evaluate_causal(
             "ckpt_step": step}
 
 
+def predict_causal(model, state, loader, eval_random: bool = False,
+                   rng=None, mesh=None):
+    """Per-graph log-probs of the three branches over ``loader`` (eval mode).
+
+    Returns (y, c_logs, o_logs, co_logs) as NumPy arrays restricted to real
+    graphs — the input to threshold-free metrics like ROC-AUC (the official
+    OGB metric for ogbg-molhiv; accuracy is meaningless at its ~3.5%
+    positive rate)."""
+    from cal_tpu.train.steps import _as_graph, _model_dtype
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    dt = _model_dtype(model)
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        g = _as_graph(batch, dt)
+        c, o, co = model.apply(
+            {"params": params, "batch_stats": batch_stats}, g,
+            eval_random=eval_random, train=False,
+            rngs={"intervention": rng})
+        return c, o, co, g.y, g.graph_mask
+
+    ys, cs, os_, cos = [], [], [], []
+    for batch in loader:
+        if mesh is not None:
+            batch = _shard(batch, mesh)
+        c, o, co, y, gm = step(state.params, state.batch_stats, batch)
+        gm = np.asarray(gm)
+        ys.append(np.asarray(y)[gm])
+        cs.append(np.asarray(c)[gm])
+        os_.append(np.asarray(o)[gm])
+        cos.append(np.asarray(co)[gm])
+    return (np.concatenate(ys), np.concatenate(cs), np.concatenate(os_),
+            np.concatenate(cos))
+
+
 def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = True):
     """k-fold protocol on a real (TU) dataset — train_causal.py:63-160.
 

@@ -22,6 +22,9 @@ def main():
         graphs, split = get_ogb_dataset(cfg.dataset, root=cfg.data_root,
                                         symmetrize=False)
         num_classes = int(max(g.y for g in graphs)) + 1
+        # train_causal_syn sizes the readouts from cfg.num_classes — use the
+        # dataset's class count, not the synthetic default of 4
+        cfg = cfg.replace(num_classes=num_classes)
         print(f"{cfg.dataset}: {len(graphs)} graphs, "
               f"{graphs[0].x.shape[1]} features, {num_classes} classes")
         train = [graphs[i] for i in split["train"]]
@@ -32,6 +35,25 @@ def main():
               f"test:[co:{100 * out['test_acc_co']:.2f},"
               f"c:{100 * out['test_acc_c']:.2f},"
               f"o:{100 * out['test_acc_o']:.2f}] at epoch:[{out['epoch']}]")
+        if num_classes == 2:
+            # the official OGB metric for binary molhiv-style tasks is
+            # ROC-AUC (accuracy is meaningless at ~3.5% positives)
+            from cal_tpu.models.factory import get_model
+            from cal_tpu.train.causal import _make_mesh_and_loaders, predict_causal
+            from cal_tpu.utils.metrics import roc_auc_score
+
+            model = get_model(cfg, 0, num_classes)
+            mesh, (val_loader, test_loader) = _make_mesh_and_loaders(
+                cfg, [val, test], graphs, shuffle_first=False)
+            for split_name, loader in (("valid", val_loader),
+                                       ("test", test_loader)):
+                y, _, o_logs, co_logs = predict_causal(
+                    model, out["state"], loader, cfg.eval_random, mesh=mesh)
+                auc_o = roc_auc_score(y, o_logs[:, 1])
+                auc_co = roc_auc_score(y, co_logs[:, 1])
+                print(f"sydall: {cfg.dataset} {split_name} "
+                      f"ROC-AUC o:[{100 * auc_o:.2f}] "
+                      f"co:[{100 * auc_co:.2f}]")
         return
     triples = create_n_filter_triples([cfg.dataset])
     for dataset_name, feat_str, _net in triples:
