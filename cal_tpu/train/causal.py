@@ -16,6 +16,7 @@ import time
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cal_tpu.data.loader import Loader, compute_budgets
@@ -25,11 +26,14 @@ from cal_tpu.train.optim import make_optimizer
 from cal_tpu.train.steps import (
     init_state,
     make_causal_eval_epoch,
+    make_causal_eval_epoch_folds,
     make_causal_eval_step,
     make_causal_train_epoch,
+    make_causal_train_epoch_folds,
     make_causal_train_step,
     make_init_fn,
     stack_batches,
+    stack_folds,
 )
 from cal_tpu.utils.checkpoint import Checkpointer
 from cal_tpu.utils.config import Config
@@ -346,11 +350,177 @@ def predict_causal(model, state, loader, eval_random: bool = False,
             np.concatenate(cos))
 
 
+def _masked_eval_copy(batch):
+    """A copy of ``batch`` with every graph masked out — safe as an eval-only
+    pad (no grads, no BN batch-stat updates at eval; correct counts and n
+    are graph_mask-gated, so a masked batch contributes exactly zero)."""
+    import dataclasses as _dc
+
+    from cal_tpu.graph import PackedDenseBatch
+
+    if isinstance(batch, PackedDenseBatch):
+        # graph_mask is derived on device as n_nodes > 0
+        return _dc.replace(batch, n_nodes=jnp.zeros_like(batch.n_nodes))
+    return _dc.replace(batch, graph_mask=jnp.zeros_like(batch.graph_mask))
+
+
+def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
+                            verbose: bool = True):
+    """Fold-PARALLEL k-fold protocol — all ``cfg.folds`` folds advance one
+    epoch per dispatch (steps.py make_causal_train_epoch_folds: vmap of the
+    scanned epoch over a leading fold axis).
+
+    The reference trains folds sequentially (train_causal.py:63-160 —
+    10 independent runs); folds are embarrassingly parallel, so this runs the
+    whole protocol in ~one fold's wall time.  On one chip the vmap batches
+    every fold's matmuls (better MXU utilization at GNN-sized hiddens); with
+    ``--mesh_dp N`` (folds % N == 0) the fold axis is sharded over the
+    mesh — XLA partitions the program with zero collectives.  Per-fold PRNG
+    streams and numerics are identical to the sequential path
+    (tests/test_fold_parallel.py asserts parity).
+    """
+    from cal_tpu.data.kfold import k_fold
+
+    graphs = list(dataset)
+    labels = np.array([g.y for g in graphs])
+    folds = cfg.folds
+    test_accs = np.zeros((folds, cfg.epochs))
+    test_accs_c = np.zeros((folds, cfg.epochs))
+    test_accs_o = np.zeros((folds, cfg.epochs))
+    train_accs = np.zeros((folds, cfg.epochs))
+    random_guess = 1.0 / num_classes
+
+    model = get_model(cfg, 0, num_classes)
+    fold_indices = k_fold(labels, folds, cfg.epoch_select)
+    steps_per_epoch = -(-len(fold_indices[0][0]) // cfg.batch_size)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
+                        cfg.weight_decay)
+    epoch_folds = make_causal_train_epoch_folds(
+        model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)
+    eval_folds = make_causal_eval_epoch_folds(model, cfg.eval_random)
+    init_fn = make_init_fn(model, causal=True)
+
+    budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
+    tiles = "auto" if cfg.use_pallas else False
+    train_loaders, test_stacks, states, host_rngs = [], [], [], []
+    for fold, (train_idx, test_idx, _val_idx) in enumerate(
+        zip(*fold_indices)
+    ):
+        train_set = [graphs[i] for i in train_idx]
+        test_set = [graphs[i] for i in test_idx]
+        tl = Loader(train_set, cfg.batch_size, shuffle=True,
+                    layout=cfg.layout, budgets=budgets, seed=cfg.seed + fold,
+                    spmm_tiles=tiles)
+        train_loaders.append(tl)
+        test_stacks.append(list(Loader(
+            test_set, cfg.batch_size, shuffle=False, layout=cfg.layout,
+            budgets=budgets, seed=0, spmm_tiles=tiles)))
+        rng = jax.random.PRNGKey(cfg.seed + fold)
+        rng, init_rng = jax.random.split(rng)
+        host_rngs.append(rng)
+        states.append(init_state(model, tx, next(iter(tl)), init_rng,
+                                 init_fn=init_fn))
+
+    counts = {len(tl) for tl in train_loaders}
+    if len(counts) != 1:
+        raise ValueError(
+            f"fold_parallel requires equal train batch counts per fold, got "
+            f"{sorted(counts)} — run with --fold_parallel false (stratified "
+            f"fold sizes differing across a batch boundary)")
+    # equalize eval batch counts with fully-masked pads
+    emax = max(len(b) for b in test_stacks)
+    test_stacks = [b + [_masked_eval_copy(b[0])] * (emax - len(b))
+                   for b in test_stacks]
+    test_stacked = stack_folds([stack_batches(b) for b in test_stacks])
+    states = stack_folds(states)
+
+    put = lambda t: t
+    if cfg.mesh_dp > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from cal_tpu.parallel import make_mesh
+
+        if folds % cfg.mesh_dp:
+            raise ValueError(
+                f"folds={folds} not divisible by mesh_dp={cfg.mesh_dp}")
+        mesh = make_mesh(dp=cfg.mesh_dp, edge=1,
+                         devices=jax.devices()[: cfg.mesh_dp])
+        sh = NamedSharding(mesh, P(("dp", "edge")))
+        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, sh), t)
+    states = put(states)
+    test_stacked = put(test_stacked)
+
+    best = np.zeros(folds)
+    best_ep = np.zeros(folds, np.int64)
+    best_c = np.zeros(folds)
+    best_o = np.zeros(folds)
+    for epoch in range(1, cfg.epochs + 1):
+        e_rngs, v_rngs = [], []
+        for f in range(folds):
+            host_rngs[f], e_rng, v_rng = jax.random.split(host_rngs[f], 3)
+            e_rngs.append(e_rng)
+            v_rngs.append(v_rng)
+        stacked = put(stack_folds(
+            [stack_batches(list(tl)) for tl in train_loaders]))
+        states, m = epoch_folds(states, stacked, put(jnp.stack(e_rngs)))
+        em = eval_folds(states, test_stacked, put(jnp.stack(v_rngs)))
+        m = jax.tree.map(np.asarray, m)
+        em = jax.tree.map(np.asarray, em)
+        n = np.maximum(m["n"], 1.0)
+        en = np.maximum(em["n"], 1.0)
+        train_acc = m["correct_o"] / n
+        t_co, t_c, t_o = (em["correct_co"] / en, em["correct_c"] / en,
+                          em["correct_o"] / en)
+        train_accs[:, epoch - 1] = train_acc
+        test_accs[:, epoch - 1] = t_co
+        test_accs_c[:, epoch - 1] = t_c
+        test_accs_o[:, epoch - 1] = t_o
+        improved = t_co > best
+        best_ep = np.where(improved, epoch, best_ep)
+        best_c = np.where(improved, t_c, best_c)
+        best_o = np.where(improved, t_o, best_o)
+        best = np.where(improved, t_co, best)
+        if verbose:
+            for f in range(folds):
+                print(
+                    "Causal | dataset:[{}] fold:[{}] | Epoch:[{}/{}] Loss:[{:.4f}={:.4f}+{:.4f}+{:.4f}] "
+                    "Train:[{:.4f}] Test:[{:.2f}] Test_o:[{:.2f}] Test_c:[{:.2f}] (RG:{:.2f}) | "
+                    "Best Test:[{:.2f}] at Epoch:[{}]".format(
+                        cfg.dataset, f, epoch, cfg.epochs,
+                        m["loss"][f] / n[f], m["loss_c"][f] / n[f],
+                        m["loss_o"][f] / n[f], m["loss_co"][f] / n[f],
+                        train_acc[f] * 100, t_co[f] * 100, t_o[f] * 100,
+                        t_c[f] * 100, random_guess * 100, best[f] * 100,
+                        int(best_ep[f]),
+                    )
+                )
+    for f in range(folds):
+        print(
+            "syd: Causal fold:[{}] | Dataset:[{}] Model:[{}] | Best Test:[{:.2f}] at epoch [{}] | "
+            "Test_o:[{:.2f}] Test_c:[{:.2f}] (RG:{:.2f})".format(
+                f, cfg.dataset, cfg.model, best[f] * 100, int(best_ep[f]),
+                best_o[f] * 100, best_c[f] * 100, random_guess * 100,
+            )
+        )
+    return _finish_real_protocol(cfg, folds, random_guess, test_accs,
+                                 test_accs_c, test_accs_o, train_accs)
+
+
 def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = True):
     """k-fold protocol on a real (TU) dataset — train_causal.py:63-160.
 
     ``dataset``: sequence of HostGraph."""
     from cal_tpu.data.kfold import k_fold
+
+    if cfg.fold_parallel:
+        if cfg.mesh_edge > 1:
+            raise NotImplementedError(
+                "fold_parallel composes with --mesh_dp (fold axis over the "
+                "mesh) but not with edge partitioning; set --mesh_edge 1")
+        if not cfg.scan_epochs:
+            raise ValueError("fold_parallel requires scan_epochs")
+        return train_causal_real_folds(dataset, num_classes, cfg, verbose)
 
     graphs = list(dataset)
     labels = np.array([g.y for g in graphs])
@@ -442,6 +612,12 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
             )
         )
 
+    return _finish_real_protocol(cfg, folds, random_guess, test_accs,
+                                 test_accs_c, test_accs_o, train_accs)
+
+
+def _finish_real_protocol(cfg, folds, random_guess, test_accs, test_accs_c,
+                          test_accs_o, train_accs):
     # post-hoc epoch selection (train_causal.py:124-132)
     sel = int(test_accs.mean(axis=0).argmax())
     sel_o = int(test_accs_o.mean(axis=0).argmax())

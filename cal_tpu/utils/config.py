@@ -84,6 +84,9 @@ class Config:
                                    # via the PartitionedGraphBatch layout
     use_pallas: bool = True        # use Pallas kernels where available
     scan_epochs: bool = True       # device-side epoch loop (1 dispatch/epoch)
+    fold_parallel: bool = False    # k-fold protocol: train ALL folds at once
+                                   # (vmapped epoch; fold axis sharded over
+                                   # the dp mesh when mesh_dp > 1)
     log_every: int = 1
 
     def replace(self, **kw: Any) -> "Config":
