@@ -67,7 +67,7 @@ def _fwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref,
     b = pl.program_id(0)
     for h in range(heads):
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * heads + h)
+            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
         pre = ti[:, h:h + 1] + tj[:, h:h + 1].T            # [N, N]
         s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
         mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
@@ -96,7 +96,7 @@ def _bwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref, m_ref, den_ref,
     b = pl.program_id(0)
     for h in range(heads):
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * heads + h)
+            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
         pre = ti[:, h:h + 1] + tj[:, h:h + 1].T
         s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
         mh = m_ref[0, :, h:h + 1]
@@ -150,7 +150,12 @@ def _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout):
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed (scalar [1])
+            # seed rides as a [1, 128] SMEM row (not a scalar [1]): vmap's
+            # pallas batching rule must be able to block the batched array
+            # [F, 1, 128] as (1, 1, 128) — Mosaic requires the last two
+            # block dims to equal the array dims, which a rank-1 scalar
+            # operand can't satisfy (fold-parallel training vmaps this call)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             _block((1, n, heads)),
             _block((1, n, heads)),
             _block((1, n, n)),
@@ -241,11 +246,12 @@ def flash_gat_dense(
     tj = jnp.einsum("bnhd,hd->bnh", xh, att_src)
     xh_flat = xh.reshape(B, n, heads * d).astype(jnp.float32)
     if dropout_rng is not None and dropout_rate > 0.0:
-        seed = jax.random.randint(
-            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        seed = jnp.broadcast_to(jax.random.randint(
+            dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+            (1, 128))
         rate = float(dropout_rate)
     else:
-        seed = jnp.zeros((1,), jnp.int32)
+        seed = jnp.zeros((1, 128), jnp.int32)
         rate = 0.0
     out = _flash_core(ti.astype(jnp.float32), tj.astype(jnp.float32),
                       adj.astype(jnp.float32), xh_flat, seed, rate)
