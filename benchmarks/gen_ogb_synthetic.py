@@ -12,7 +12,9 @@ cannot separate the classes, message passing over structure can.  The heavy
 class imbalance is the point: accuracy saturates at ~96.5% by predicting 0,
 so only ROC-AUC (the official OGB metric, utils/metrics.py) is informative.
 
-Usage: python -m benchmarks.gen_ogb_synthetic [--root data] [--name SYNHIV]
+Usage: python -m benchmarks.gen_ogb_synthetic [--root data]
+       [--name ogbg_SYNHIV]
+then:  python main_real.py --model CausalGAT --dataset ogbg-SYNHIV
 Writes {root}/{name}/raw/{num-node-list,num-edge-list,edge,node-feat,
 graph-label}.csv and {root}/{name}/split/scaffold/{train,valid,test}.csv
 (index split 80/10/10, matching the official split sizes).
@@ -56,7 +58,9 @@ def make_graph(rng: np.random.Generator, label: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="data")
-    ap.add_argument("--name", default="SYNHIV")
+    # 'ogbg_' prefix: main_real.py routes ogbg-* names to the OGB branch,
+    # and data/ogb.py maps the name to this directory ('-' and '_' both ok)
+    ap.add_argument("--name", default="ogbg_SYNHIV")
     ap.add_argument("--graphs", type=int, default=41127)
     ap.add_argument("--pos_rate", type=float, default=0.035)
     ap.add_argument("--seed", type=int, default=12345)

@@ -381,6 +381,21 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     """
     from cal_tpu.data.kfold import k_fold
 
+    if (cfg.use_pallas and cfg.dtype == "bfloat16"
+            and cfg.model in ("CausalGCN", "CausalGIN")
+            and jax.default_backend() == "tpu"):
+        # Backend workaround (measured on the tunneled v5e backend): the
+        # fold-vmapped program stalls in compilation (>15 min, vs ~3 min
+        # normally) when it combines the fused dual masked-conv Pallas
+        # kernel with a bf16 XLA-visible backbone.  Every neighboring
+        # config compiles fine: f32 + kernel, bf16 + XLA-only, and
+        # CausalGAT bf16 (whose backbone is itself a Pallas custom call).
+        # Dropping the fused kernels costs ~4% step time (bench.py: 38.3M
+        # -> 36.7M edges/s) — strictly better than not compiling.
+        print("fold_parallel: fused Pallas kernels disabled for "
+              f"{cfg.model} bf16 (vmapped-compile stall workaround)")
+        cfg = cfg.replace(use_pallas=False)
+
     graphs = list(dataset)
     labels = np.array([g.y for g in graphs])
     folds = cfg.folds
