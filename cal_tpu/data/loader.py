@@ -156,6 +156,47 @@ class Loader:
             batch = dataclasses.replace(batch, tiles=tiles)
         return batch
 
+    def _make_batch_host(self, idx: np.ndarray):
+        """One batch with NumPy leaves (no per-leaf H2D transfer).
+
+        The scan-epoch paths stack a whole epoch of these on host and ship
+        ONE array per leaf: on the tunneled TPU backend each device_put has
+        ~ms fixed latency, so an epoch of B batches x L leaves as individual
+        transfers (the ``__iter__`` path) costs seconds of pure launch
+        overhead at small-graph scale — measured 10x the device compute on
+        the SYNNCI fold-parallel run."""
+        bs = self.batch_size
+        nb, eb = self.budgets["node_budget"], self.budgets["edge_budget"]
+        if self.layout == "dense":
+            x, edge_flat, n_nodes, y = self.packed.pack_dense(idx, bs, nb, eb)
+            idx_dtype = (np.int32 if bs * nb * nb < 2**31 else np.int64)
+            return PackedDenseBatch(
+                x=x, edge_flat=np.asarray(edge_flat, idx_dtype),
+                n_nodes=n_nodes, y=y)
+        if get_lib() is not None:
+            (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
+                idx, bs, nb, eb)
+            tiles = None
+            if self.spmm_tiles:
+                from cal_tpu.ops import pallas_spmm as _ps
+
+                kw = dict(node_block=self._node_block,
+                          tile_edges=self._tile_edges,
+                          tile_budget=self._tile_budget, device=False)
+                tiles = (_ps.build_tiles(s, r, nb, **kw),
+                         _ps.build_tiles(r, s, nb, **kw))
+            return GraphBatch(x=x, senders=s, receivers=r, edge_mask=em,
+                              node_mask=nm, node_graph=ng, y=y,
+                              graph_mask=gm, tiles=tiles)
+        # no native packer: reuse the device path, pull back to host once
+        return jax.tree.map(np.asarray, self._make_batch(idx))
+
+    def host_batches(self) -> Iterator:
+        """One epoch of NumPy-leaf batches (same shuffle stream as
+        ``__iter__``); pair with steps.stack_batches_host + to_device."""
+        for idx in self._chunks():
+            yield self._make_batch_host(idx)
+
     def _chunks(self):
         order = np.arange(len(self.graphs))
         if self.shuffle:
@@ -233,6 +274,11 @@ class PartitionedLoader(Loader):
             vl = self.budgets["node_budget"] // (dp * ne)
             spmm_tiles = vl >= 2048
         self.spmm_tiles = bool(spmm_tiles)
+
+    def _make_batch_host(self, idx: np.ndarray):
+        raise NotImplementedError(
+            "PartitionedGraphBatch carries a mesh — use the sharded "
+            "stack path (parallel.shard_stacked), not host_batches")
 
     def _make_batch(self, idx: np.ndarray):
         from cal_tpu.parallel.partition import partition_batch

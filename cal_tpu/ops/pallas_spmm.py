@@ -97,9 +97,12 @@ def build_tiles(
     tile_edges: int = TILE_EDGES,
     tile_budget: int | None = None,
     precision: str = "f32",
+    device: bool = True,
 ) -> SpmmTiles:
     """Host-side (numpy) tile packing.  Structure-only: weights/masks enter
-    per-step through ``coef`` so one plan serves every step on a batch."""
+    per-step through ``coef`` so one plan serves every step on a batch.
+    ``device=False`` keeps the plan as NumPy (for host-stacked epoch batches
+    that are shipped with one transfer per leaf)."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     E = senders.shape[0]
@@ -149,13 +152,14 @@ def build_tiles(
     for _ in range(tile_budget - n_real):
         emit(nb - 1, 0, np.empty(0, np.int64), False)  # adds zero, no reinit
 
+    conv = jnp.asarray if device else np.asarray
     return SpmmTiles(
-        iblk=jnp.asarray(np.asarray(iblk, np.int32)),
-        jblk=jnp.asarray(np.asarray(jblk, np.int32)),
-        first=jnp.asarray(np.asarray(first, np.int32)),
-        sloc=jnp.asarray(np.stack(sloc)),
-        rloc=jnp.asarray(np.stack(rloc)),
-        perm=jnp.asarray(np.stack(perm)),
+        iblk=conv(np.asarray(iblk, np.int32)),
+        jblk=conv(np.asarray(jblk, np.int32)),
+        first=conv(np.asarray(first, np.int32)),
+        sloc=conv(np.stack(sloc)),
+        rloc=conv(np.stack(rloc)),
+        perm=conv(np.stack(perm)),
         node_block=node_block,
         precision=precision,
     )

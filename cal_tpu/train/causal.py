@@ -33,7 +33,9 @@ from cal_tpu.train.steps import (
     make_causal_train_step,
     make_init_fn,
     stack_batches,
+    stack_batches_host,
     stack_folds,
+    to_device,
 )
 from cal_tpu.utils.checkpoint import Checkpointer
 from cal_tpu.utils.config import Config
@@ -62,15 +64,25 @@ def _shard(batch, mesh):
 
 def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
     """Device-side epoch: one dispatch for the whole epoch (steps.py
-    make_causal_train_epoch).  Identical numerics to _run_epoch."""
-    batches = list(loader)
-    if not batches:
-        return state, (0.0, 0.0, 0.0, 0.0, 0.0)
-    stacked = stack_batches(batches)
-    if mesh is not None:
-        from cal_tpu.parallel import shard_stacked
+    make_causal_train_epoch).  Identical numerics to _run_epoch.
 
-        stacked = shard_stacked(stacked, mesh)
+    Unsharded loaders stack the epoch on HOST and ship one transfer per
+    leaf (Loader.host_batches) — per-batch device_put launch latency
+    otherwise dominates at small-graph scale."""
+    if mesh is None and hasattr(loader, "host_batches"):
+        batches = list(loader.host_batches())
+        if not batches:
+            return state, (0.0, 0.0, 0.0, 0.0, 0.0)
+        stacked = to_device(stack_batches_host(batches))
+    else:
+        batches = list(loader)
+        if not batches:
+            return state, (0.0, 0.0, 0.0, 0.0, 0.0)
+        stacked = stack_batches(batches)
+        if mesh is not None:
+            from cal_tpu.parallel import shard_stacked
+
+            stacked = shard_stacked(stacked, mesh)
     state, m = epoch_fn(state, stacked, rng)
     n = max(float(m["n"]), 1.0)
     return state, (float(m["loss"]) / n, float(m["loss_c"]) / n,
@@ -102,6 +114,9 @@ def _eval_scan(eval_epoch, state, stacked, rng):
 
 
 def _stack_loader(loader, mesh=None):
+    if mesh is None and hasattr(loader, "host_batches"):
+        batches = list(loader.host_batches())
+        return to_device(stack_batches_host(batches)) if batches else None
     batches = list(loader)
     if not batches:
         return None
@@ -360,8 +375,12 @@ def _masked_eval_copy(batch):
 
     if isinstance(batch, PackedDenseBatch):
         # graph_mask is derived on device as n_nodes > 0
-        return _dc.replace(batch, n_nodes=jnp.zeros_like(batch.n_nodes))
-    return _dc.replace(batch, graph_mask=jnp.zeros_like(batch.graph_mask))
+        z = (np.zeros_like if isinstance(batch.n_nodes, np.ndarray)
+             else jnp.zeros_like)
+        return _dc.replace(batch, n_nodes=z(batch.n_nodes))
+    z = (np.zeros_like if isinstance(batch.graph_mask, np.ndarray)
+         else jnp.zeros_like)
+    return _dc.replace(batch, graph_mask=z(batch.graph_mask))
 
 
 def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
@@ -429,7 +448,7 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
         train_loaders.append(tl)
         test_stacks.append(list(Loader(
             test_set, cfg.batch_size, shuffle=False, layout=cfg.layout,
-            budgets=budgets, seed=0, spmm_tiles=tiles)))
+            budgets=budgets, seed=0, spmm_tiles=tiles).host_batches()))
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
         host_rngs.append(rng)
@@ -446,9 +465,9 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     emax = max(len(b) for b in test_stacks)
     test_stacks = [b + [_masked_eval_copy(b[0])] * (emax - len(b))
                    for b in test_stacks]
-    test_stacked = stack_folds([stack_batches(b) for b in test_stacks])
     states = stack_folds(states)
 
+    sh = None
     put = lambda t: t
     if cfg.mesh_dp > 1:
         from jax.sharding import NamedSharding
@@ -463,8 +482,14 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
                          devices=jax.devices()[: cfg.mesh_dp])
         sh = NamedSharding(mesh, P(("dp", "edge")))
         put = lambda t: jax.tree.map(lambda a: jax.device_put(a, sh), t)
+    # host-stack [folds, steps, ...] then ONE transfer per leaf (per-batch
+    # device_puts cost ~ms launch latency each on the tunneled backend —
+    # at small-graph scale they dominated the whole fold-parallel epoch)
+    _host_fold_stack = lambda stacks: to_device(
+        jax.tree.map(lambda *xs: np.stack(xs), *stacks), sh)
     states = put(states)
-    test_stacked = put(test_stacked)
+    test_stacked = _host_fold_stack(
+        [stack_batches_host(b) for b in test_stacks])
 
     best = np.zeros(folds)
     best_ep = np.zeros(folds, np.int64)
@@ -476,8 +501,9 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
             host_rngs[f], e_rng, v_rng = jax.random.split(host_rngs[f], 3)
             e_rngs.append(e_rng)
             v_rngs.append(v_rng)
-        stacked = put(stack_folds(
-            [stack_batches(list(tl)) for tl in train_loaders]))
+        stacked = _host_fold_stack(
+            [stack_batches_host(list(tl.host_batches()))
+             for tl in train_loaders])
         states, m = epoch_folds(states, stacked, put(jnp.stack(e_rngs)))
         em = eval_folds(states, test_stacked, put(jnp.stack(v_rngs)))
         m = jax.tree.map(np.asarray, m)

@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from cal_tpu.graph import PackedDenseBatch, to_dense
@@ -162,6 +163,21 @@ def make_causal_train_epoch(model, tx, c_w, o_w, co_w, with_random: bool):
 def stack_batches(batches):
     """Stack same-shape batch pytrees on a new leading axis for scan."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def stack_batches_host(batches):
+    """NumPy-leaf variant of ``stack_batches`` (use with Loader.host_batches
+    + ``to_device``): the whole epoch is stacked on host and shipped as ONE
+    H2D transfer per leaf, instead of batches x leaves small transfers whose
+    fixed launch latency dominates at small-graph scale."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def to_device(tree, sharding=None):
+    """One device_put per leaf (optionally with a NamedSharding)."""
+    if sharding is not None:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree.map(jnp.asarray, tree)
 
 
 def make_causal_eval_step(model, eval_random: bool):
