@@ -1,0 +1,62 @@
+"""Loader.host_batches (NumPy-leaf epoch batches for host stacking) must be
+leaf-for-leaf identical to the device __iter__ path — same shuffle stream,
+same packing, same tile plans."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from cal_tpu.data.loader import Loader, compute_budgets
+from cal_tpu.data.synthetic import generate_synthetic_dataset
+from cal_tpu.train.steps import stack_batches_host, to_device
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    ds = generate_synthetic_dataset(data_num=6, node_num=4, max_degree=6,
+                                    seed=3)
+    return [g for ctx in ds.values() for shp in ctx.values() for g in shp]
+
+
+@pytest.mark.parametrize("layout", ["dense", "sparse"])
+def test_host_batches_match_device_iter(graphs, layout):
+    budgets = compute_budgets(graphs, 16, layout)
+    mk = lambda: Loader(graphs, 16, shuffle=True, layout=layout,
+                        budgets=budgets, seed=7)
+    dev = list(mk())
+    host = list(mk().host_batches())
+    assert len(dev) == len(host)
+    for d, h in zip(dev, host):
+        assert type(d) is type(h)
+        d_leaves = jax.tree.leaves(d)
+        h_leaves = jax.tree.leaves(h)
+        assert len(d_leaves) == len(h_leaves)
+        for a, b in zip(d_leaves, h_leaves):
+            assert isinstance(b, np.ndarray) or np.ndim(b) == 0
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_stack_roundtrip(graphs):
+    budgets = compute_budgets(graphs, 16, "dense")
+    host = list(Loader(graphs, 16, shuffle=False, layout="dense",
+                       budgets=budgets).host_batches())
+    stacked = to_device(stack_batches_host(host))
+    leaves = jax.tree.leaves(stacked)
+    assert all(l.shape[0] == len(host) for l in leaves)
+    # first slice equals first batch
+    for l, b in zip(leaves, jax.tree.leaves(host[0])):
+        np.testing.assert_array_equal(np.asarray(l[0]), np.asarray(b))
+
+
+def test_sparse_tiles_host_plans(graphs):
+    budgets = compute_budgets(graphs, 16, "sparse")
+    tl = Loader(graphs, 16, shuffle=False, layout="sparse",
+                budgets=budgets, spmm_tiles=True)
+    hb = next(iter(tl.host_batches()))
+    db = next(iter(tl))
+    if hb.tiles is None:
+        pytest.skip("native packer unavailable")
+    for a, b in zip(jax.tree.leaves(hb.tiles), jax.tree.leaves(db.tiles)):
+        assert isinstance(a, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
