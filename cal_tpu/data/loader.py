@@ -276,11 +276,16 @@ class PartitionedLoader(Loader):
         self.spmm_tiles = bool(spmm_tiles)
 
     def _make_batch_host(self, idx: np.ndarray):
-        raise NotImplementedError(
-            "PartitionedGraphBatch carries a mesh — use the sharded "
-            "stack path (parallel.shard_stacked), not host_batches")
+        """NumPy-leaf partitioned batch — pair with steps.stack_batches_host
+        + parallel.shard_stacked: the scan-epoch path stacks a whole epoch on
+        host and ships one sharded transfer per leaf, the same fix for
+        per-batch device_put launch latency the unsharded Loader has."""
+        return self._partition(idx, device=False)
 
     def _make_batch(self, idx: np.ndarray):
+        return self._partition(idx, device=True)
+
+    def _partition(self, idx: np.ndarray, device: bool):
         from cal_tpu.parallel.partition import partition_batch
 
         chunk = [self.graphs[j] for j in idx]
@@ -288,5 +293,5 @@ class PartitionedLoader(Loader):
         return partition_batch(
             chunk, self.mesh, b["num_graphs"], b["node_budget"],
             b["edge_budget_per_shard"], b["halo_budget"],
-            spmm_tiles=self.spmm_tiles,
+            spmm_tiles=self.spmm_tiles, device=device,
         )

@@ -77,8 +77,14 @@ def partition_batch(
     spmm_tiles: bool = False,
     node_block: int | None = None,
     tile_edges: int | None = None,
+    device: bool = True,
 ) -> PartitionedGraphBatch:
     """Collate host graphs into a ``PartitionedGraphBatch`` for ``mesh``.
+
+    ``device=False`` keeps every leaf a NumPy array (tile plans included) —
+    the scan-epoch staging path stacks a whole epoch of host batches and
+    ships ONE sharded transfer per leaf (parallel.shard_stacked), the same
+    launch-latency fix the unsharded ``Loader.host_batches`` provides.
 
     Graph slot assignment is sequential-block: group k gets graphs
     [k*G/dp, (k+1)*G/dp) — slot ids equal input order, so single-device and
@@ -191,25 +197,26 @@ def partition_batch(
         for gid in range(n_shards):
             s_tab, recv = senders_tab[gid], receivers[gid]
             plans_f.append(_ps.build_tiles(
-                s_tab, recv, table_pad, nb_blk, te, budget))
+                s_tab, recv, table_pad, nb_blk, te, budget, device=device))
             plans_b.append(_ps.build_tiles(
-                recv, s_tab, table_pad, nb_blk, te, budget))
-        stack = lambda plans: jax.tree.map(
-            lambda *xs: jnp.stack(xs), *plans)
+                recv, s_tab, table_pad, nb_blk, te, budget, device=device))
+        _stk = jnp.stack if device else np.stack
+        stack = lambda plans: jax.tree.map(lambda *xs: _stk(xs), *plans)
         tiles = (stack(plans_f), stack(plans_b))
 
+    put = jnp.asarray if device else np.asarray
     return PartitionedGraphBatch(
-        x=jnp.asarray(x),
-        node_mask=jnp.asarray(node_mask),
-        node_graph=jnp.asarray(node_graph),
-        senders_tab=jnp.asarray(senders_tab.reshape(-1)),
-        senders_glb=jnp.asarray(senders_glb.reshape(-1)),
-        receivers=jnp.asarray(receivers.reshape(-1)),
-        edge_mask=jnp.asarray(edge_mask.reshape(-1)),
-        send_idx=jnp.asarray(send_idx),
-        send_mask=jnp.asarray(send_mask),
-        y=jnp.asarray(y),
-        graph_mask=jnp.asarray(graph_mask),
+        x=put(x),
+        node_mask=put(node_mask),
+        node_graph=put(node_graph),
+        senders_tab=put(senders_tab.reshape(-1)),
+        senders_glb=put(senders_glb.reshape(-1)),
+        receivers=put(receivers.reshape(-1)),
+        edge_mask=put(edge_mask.reshape(-1)),
+        send_idx=put(send_idx),
+        send_mask=put(send_mask),
+        y=put(y),
+        graph_mask=put(graph_mask),
         tiles=tiles,
         mesh=mesh,
     )

@@ -12,6 +12,7 @@ what the reference numbers mean (SURVEY.md §3.3).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Sequence
 
@@ -32,7 +33,6 @@ from cal_tpu.train.steps import (
     make_causal_train_epoch_folds,
     make_causal_train_step,
     make_init_fn,
-    stack_batches,
     stack_batches_host,
     stack_folds,
     to_device,
@@ -66,23 +66,20 @@ def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
     """Device-side epoch: one dispatch for the whole epoch (steps.py
     make_causal_train_epoch).  Identical numerics to _run_epoch.
 
-    Unsharded loaders stack the epoch on HOST and ship one transfer per
-    leaf (Loader.host_batches) — per-batch device_put launch latency
-    otherwise dominates at small-graph scale."""
-    if mesh is None and hasattr(loader, "host_batches"):
-        batches = list(loader.host_batches())
-        if not batches:
-            return state, (0.0, 0.0, 0.0, 0.0, 0.0)
-        stacked = to_device(stack_batches_host(batches))
+    Every layout stacks the epoch on HOST and ships one transfer per leaf
+    (Loader/PartitionedLoader host_batches) — per-batch device_put launch
+    latency otherwise dominates at small-graph scale; mesh runs shard each
+    stacked leaf directly (parallel.shard_stacked)."""
+    batches = list(loader.host_batches())
+    if not batches:
+        return state, (0.0, 0.0, 0.0, 0.0, 0.0)
+    stacked = stack_batches_host(batches)
+    if mesh is None:
+        stacked = to_device(stacked)
     else:
-        batches = list(loader)
-        if not batches:
-            return state, (0.0, 0.0, 0.0, 0.0, 0.0)
-        stacked = stack_batches(batches)
-        if mesh is not None:
-            from cal_tpu.parallel import shard_stacked
+        from cal_tpu.parallel import shard_stacked
 
-            stacked = shard_stacked(stacked, mesh)
+        stacked = shard_stacked(stacked, mesh)
     state, m = epoch_fn(state, stacked, rng)
     n = max(float(m["n"]), 1.0)
     return state, (float(m["loss"]) / n, float(m["loss_c"]) / n,
@@ -114,18 +111,15 @@ def _eval_scan(eval_epoch, state, stacked, rng):
 
 
 def _stack_loader(loader, mesh=None):
-    if mesh is None and hasattr(loader, "host_batches"):
-        batches = list(loader.host_batches())
-        return to_device(stack_batches_host(batches)) if batches else None
-    batches = list(loader)
+    batches = list(loader.host_batches())
     if not batches:
         return None
-    stacked = stack_batches(batches)
-    if mesh is not None:
-        from cal_tpu.parallel import shard_stacked
+    stacked = stack_batches_host(batches)
+    if mesh is None:
+        return to_device(stacked)
+    from cal_tpu.parallel import shard_stacked
 
-        stacked = shard_stacked(stacked, mesh)
-    return stacked
+    return shard_stacked(stacked, mesh)
 
 
 def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
@@ -411,8 +405,9 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
         # CausalGAT bf16 (whose backbone is itself a Pallas custom call).
         # Dropping the fused kernels costs ~4% step time (bench.py: 38.3M
         # -> 36.7M edges/s) — strictly better than not compiling.
-        print("fold_parallel: fused Pallas kernels disabled for "
-              f"{cfg.model} bf16 (vmapped-compile stall workaround)")
+        if verbose:
+            print("fold_parallel: fused Pallas kernels disabled for "
+                  f"{cfg.model} bf16 (vmapped-compile stall workaround)")
         cfg = cfg.replace(use_pallas=False)
 
     graphs = list(dataset)
@@ -461,6 +456,24 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
             f"fold_parallel requires equal train batch counts per fold, got "
             f"{sorted(counts)} — run with --fold_parallel false (stratified "
             f"fold sizes differing across a batch boundary)")
+    # HBM-footprint guard: this protocol stages [folds, steps, ...] whole
+    # epochs on device (k x one fold's footprint); a larger dataset would
+    # otherwise die in the allocator with an opaque OOM mid-run.
+    # (_make_batch_host directly: host_batches() would advance the loader's
+    # shuffle RNG and desync the epoch stream from the sequential protocol)
+    tl0 = train_loaders[0]
+    b0 = tl0._make_batch_host(
+        np.arange(min(cfg.batch_size, tl0.num_graphs)))
+    batch_bytes = sum(a.nbytes for a in jax.tree.leaves(b0))
+    sharded_folds = folds // max(cfg.mesh_dp, 1)
+    need = batch_bytes * steps_per_epoch * sharded_folds * 2  # train + eval
+    budget = int(float(os.environ.get("CAL_TPU_FOLD_STACK_BYTES", 8e9)))
+    if need > budget:
+        raise ValueError(
+            f"fold_parallel would stage ~{need / 1e9:.1f} GB of stacked "
+            f"epoch batches per device (> {budget / 1e9:.1f} GB budget, "
+            f"CAL_TPU_FOLD_STACK_BYTES) — run with --fold_parallel false "
+            f"or shard folds over more devices (--mesh_dp)")
     # equalize eval batch counts with fully-masked pads
     emax = max(len(b) for b in test_stacks)
     test_stacks = [b + [_masked_eval_copy(b[0])] * (emax - len(b))
@@ -561,7 +574,16 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
                 "mesh) but not with edge partitioning; set --mesh_edge 1")
         if not cfg.scan_epochs:
             raise ValueError("fold_parallel requires scan_epochs")
-        return train_causal_real_folds(dataset, num_classes, cfg, verbose)
+        # validate BEFORE any loader/state setup: stratified folds whose
+        # train sizes straddle a batch_size boundary can't share one scanned
+        # epoch program — fall back to the sequential protocol.
+        _labels = np.array([g.y for g in dataset])
+        _train_idx = k_fold(_labels, cfg.folds, cfg.epoch_select)[0]
+        _counts = {-(-len(t) // cfg.batch_size) for t in _train_idx}
+        if len(_counts) == 1:
+            return train_causal_real_folds(dataset, num_classes, cfg, verbose)
+        print(f"fold_parallel: unequal train batch counts across folds "
+              f"{sorted(_counts)} — falling back to the sequential protocol")
 
     graphs = list(dataset)
     labels = np.array([g.y for g in graphs])

@@ -49,6 +49,36 @@ def test_host_stack_roundtrip(graphs):
         np.testing.assert_array_equal(np.asarray(l[0]), np.asarray(b))
 
 
+def test_partitioned_host_batches_match_device_iter(graphs):
+    """PartitionedLoader.host_batches (VERDICT r2 item 6): NumPy leaves,
+    leaf-for-leaf identical to the device __iter__ path, and shardable via
+    shard_stacked with one transfer per leaf."""
+    from jax.sharding import NamedSharding
+
+    from cal_tpu.data.loader import PartitionedLoader
+    from cal_tpu.parallel import make_mesh, shard_stacked
+    from cal_tpu.parallel.partition import partition_budgets
+
+    mesh = make_mesh(dp=2, edge=2, devices=jax.devices()[:4])
+    budgets = partition_budgets(graphs, 16, 2, 2)
+    mk = lambda: PartitionedLoader(graphs, 16, mesh, shuffle=True,
+                                   budgets=budgets, seed=7, spmm_tiles=True)
+    dev = list(mk())
+    host = list(mk().host_batches())
+    assert len(dev) == len(host)
+    for d, h in zip(dev, host):
+        assert type(d) is type(h)
+        d_leaves, h_leaves = jax.tree.leaves(d), jax.tree.leaves(h)
+        assert len(d_leaves) == len(h_leaves)
+        for a, b in zip(d_leaves, h_leaves):
+            assert isinstance(b, np.ndarray) or np.ndim(b) == 0
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    stacked = shard_stacked(stack_batches_host(host), mesh)
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.shape[0] == len(host)
+        assert isinstance(leaf.sharding, NamedSharding)
+
+
 def test_sparse_tiles_host_plans(graphs):
     budgets = compute_budgets(graphs, 16, "sparse")
     tl = Loader(graphs, 16, shuffle=False, layout="sparse",
