@@ -88,40 +88,56 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
     stacked = stack_batches(batches)
     n_batches = len(batches)
 
-    # XLA's own HBM-traffic estimate for one epoch invocation (the honest
-    # roofline numerator — counts actual buffer reads/writes at fusion
-    # boundaries, not a hand-waved floor).
+    # The tunneled backend costs ~15 ms of host/tunnel turnaround PER
+    # dispatch (measured r3 via profiler trace: the 3-batch epoch dispatch
+    # reads 7.6 ms wall but only 2.4 ms device time) — scan EPOCHS_PER_CALL
+    # epochs inside one jitted dispatch so the tracked number measures the
+    # device, as a production-size epoch would.
+    epochs_per_call = max(1, 30 // n_batches)
+
+    @jax.jit
+    def superstep(state, stacked, rng):
+        def body(st, i):
+            return epoch_fn(st, stacked, jax.random.fold_in(rng, i))
+
+        return jax.lax.scan(body, state, jnp.arange(epochs_per_call))
+
+    # XLA's own HBM-traffic estimate (the honest roofline numerator —
+    # counts actual buffer reads/writes at fusion boundaries).
     try:
-        cost = epoch_fn.lower(state, stacked, rng).compile().cost_analysis()
-        bytes_per_epoch = float(cost.get("bytes accessed", 0.0))
+        cost = (superstep.lower(state, stacked, rng).compile()
+                .cost_analysis())
+        bytes_per_call = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        bytes_per_epoch = 0.0
+        bytes_per_call = 0.0
 
     # warmup: compile + let the runtime reach steady state.  Iterations
     # chain through `state`, so the device must execute serially; the final
     # host fetch of the loss forces completion (block_until_ready alone is
     # NOT sufficient on the tunneled backend — see benchmarks/sweep_spmm.py).
+    steps_per_call = epochs_per_call * n_batches
     n = 0
-    while n < max(40, 2 * n_batches):
-        state, m = epoch_fn(state, stacked, rng)
-        n += n_batches
-    _ = float(m["loss"])
+    while n < max(40, 2 * steps_per_call):
+        state, m = superstep(state, stacked, rng)
+        n += steps_per_call
+    _ = float(m["loss"][-1])
 
-    # timed region: epochs chain through `state` (serial by construction);
-    # ONE host fetch at the end — any mid-loop fetch stalls the pipeline.
-    n_steps = n_epochs = 0
+    # timed region: supersteps chain through `state` (serial by
+    # construction); ONE host fetch at the end — any mid-loop fetch stalls
+    # the pipeline.
+    n_steps = n_calls = 0
     t0 = time.perf_counter()
     while n_steps < target_steps:
-        state, m = epoch_fn(state, stacked, rng)
-        n_steps += n_batches
-        n_epochs += 1
-    _ = float(m["loss"])
+        state, m = superstep(state, stacked, rng)
+        n_steps += steps_per_call
+        n_calls += 1
+    _ = float(m["loss"][-1])
     dt = time.perf_counter() - t0
 
     edges_per_s = n_steps / dt * edges_per_batch
     out = {"edges_per_s": edges_per_s}
-    if bytes_per_epoch:
-        gbps = bytes_per_epoch * n_epochs / dt / 1e9
+    if bytes_per_call:
+        gbps = bytes_per_call * n_calls / dt / 1e9
         out["pct_hbm_roofline"] = round(
             100.0 * gbps / HW_PEAKS[tpu_generation()]["hbm_gbps"], 1)
     return out

@@ -215,10 +215,37 @@ def gat_sparse_parity():
     check("dropout fwd (same key)", gotd, refd, 1e-4)
 
 
+def adj_build_parity():
+    """One-hot MXU adjacency build (ops/pallas_adj.py) vs the XLA sorted
+    scatter — integer counts must match EXACTLY (tol 0)."""
+    print("adj_build vs XLA scatter:")
+    from cal_tpu.ops.pallas_adj import adj_build
+
+    B, N, EG = 128, 256, 1152
+    rng = np.random.default_rng(5)
+    flat = []
+    for g in range(B - 1):                      # last slot padded (empty)
+        e = rng.integers(1, EG - 1)
+        r = rng.integers(0, N, e)
+        s = rng.integers(0, N, e)
+        flat.append((g * N + r) * N + s)
+    flat = np.sort(np.concatenate(flat))
+    ef = np.full(128 * 1024, B * N * N, np.int32)
+    ef[:len(flat)] = flat
+    ef = jnp.asarray(ef)
+    want = (jnp.zeros((B * N * N,), jnp.float32).at[ef]
+            .add(1.0, mode="drop", indices_are_sorted=True).reshape(B, N, N))
+    got = jax.jit(lambda e: adj_build(e, B, N, EG, jnp.float32))(ef)
+    check("counts f32 (exact)", got, want, 0.0)
+    got16 = jax.jit(lambda e: adj_build(e, B, N, EG, jnp.bfloat16))(ef)
+    check("counts bf16 (exact)", np.asarray(got16, np.float32), want, 0.0)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
     gcn_dense_parity()
+    adj_build_parity()
     spmm_parity()
     gat_sparse_parity()
     if FAILS:

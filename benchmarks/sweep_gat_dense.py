@@ -25,7 +25,10 @@ B, N, HEADS, D = 128, 248, 4, 32
 EDGES_PER_GRAPH = 1000
 
 
-def timeit(f, xh0, iters=20, fwd_only=False):
+def timeit(f, xh0, fwd_only=False, lo=100, hi=500):
+    """Two-point differenced chained-scan timing: the tunneled backend has a
+    ~26 ms FIXED dispatch+fetch round trip (CLAUDE.md r3 rule), so per-iter
+    time is (T(hi) - T(lo)) / (hi - lo) — the fixed cost cancels."""
     def step(xv, _):
         if fwd_only:
             v = f(xv)
@@ -33,13 +36,17 @@ def timeit(f, xh0, iters=20, fwd_only=False):
         g = jax.grad(lambda x: f(x).sum())(xv)
         return xv + 1e-6 * g, None
 
-    run = jax.jit(lambda xv: jax.lax.scan(step, xv, None, length=iters)[0])
-    r = run(xh0)
-    _ = float(r[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    r = run(xh0)
-    _ = float(r[0, 0, 0, 0])
-    return (time.perf_counter() - t0) / iters * 1e3
+    def total(iters):
+        run = jax.jit(
+            lambda xv: jax.lax.scan(step, xv, None, length=iters)[0])
+        r = run(xh0)
+        _ = float(r[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        r = run(xh0)
+        _ = float(r[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    return (total(hi) - total(lo)) / (hi - lo) * 1e3
 
 
 def main():

@@ -43,9 +43,17 @@ def compute_budgets(
     """Static budgets covering any batch drawn from ``graphs``."""
     if layout == "dense":
         node_budget = _round_up(max(g.num_nodes for g in graphs), 8)
+        # lane alignment: a 128-multiple N makes every [B, N, N] Pallas
+        # block DMA contiguous full lanes (measured 3x the flash-GAT DMA
+        # floor at N=248 vs 256, benchmarks/sweep_gat_flash_phases.py);
+        # only take it when the padding waste stays small.
+        aligned = _round_up(node_budget, 128)
+        if aligned <= 1.15 * node_budget:
+            node_budget = aligned
         e_sorted = sorted((g.num_edges for g in graphs), reverse=True)
         edge_budget = _round_up(max(sum(e_sorted[:batch_size]), 1), 128)
-        return {"node_budget": node_budget, "edge_budget": edge_budget}
+        return {"node_budget": node_budget, "edge_budget": edge_budget,
+                "edge_per_graph": max(e_sorted[0], 1)}
     pad_n, pad_e = pad_sizes_for(graphs, batch_size)
     return {"node_budget": pad_n, "edge_budget": pad_e}
 
@@ -137,7 +145,9 @@ class Loader:
         nb, eb = self.budgets["node_budget"], self.budgets["edge_budget"]
         if self.layout == "dense":
             x, edge_flat, n_nodes, y = self.packed.pack_dense(idx, bs, nb, eb)
-            return pack_from_arrays(x, edge_flat, n_nodes, y)
+            return pack_from_arrays(x, edge_flat, n_nodes, y,
+                                    eg_budget=self.budgets.get(
+                                        "edge_per_graph", 0))
         if get_lib() is not None:
             (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
                 idx, bs, nb, eb)
@@ -172,7 +182,8 @@ class Loader:
             idx_dtype = (np.int32 if bs * nb * nb < 2**31 else np.int64)
             return PackedDenseBatch(
                 x=x, edge_flat=np.asarray(edge_flat, idx_dtype),
-                n_nodes=n_nodes, y=y)
+                n_nodes=n_nodes, y=y,
+                eg_budget=self.budgets.get("edge_per_graph", 0))
         if get_lib() is not None:
             (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
                 idx, bs, nb, eb)

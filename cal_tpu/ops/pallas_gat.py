@@ -1,21 +1,39 @@
-"""Fused flash-style GAT attention kernel (Pallas / Mosaic TPU).
+"""Fused flash-style GAT attention kernel (Pallas / Mosaic TPU) — v2.
 
 The XLA dense GAT path (ops/gat.py gat_aggregate_dense) materializes
-score/exp/alpha tensors of shape [B, N, N, heads] in HBM — ~1.5 ms forward
-at bench shapes (B=128, N=248, 4 heads).  This kernel processes one graph
-per grid step entirely in VMEM: scores, masked softmax (with duplicate-edge
-multiplicity and the analytic self loop), attention dropout, and the
-alpha @ xh matmuls (MXU) — one HBM read of (ti, tj, counts, xh) and one
-write of out.  ~10x less HBM traffic.
+score/exp/alpha tensors of shape [B, N, N, heads] in HBM; this kernel
+processes a block of graphs per grid step entirely in VMEM: scores, softmax
+(with duplicate-edge multiplicity and the analytic self loop), attention
+dropout, and the alpha @ xh matmuls (MXU) — one HBM read of
+(ti, tj, counts, xh) and one write of out.
+
+v2 redesign (r3), driven by benchmarks/sweep_gat_flash_phases.py:
+  * the sender score half arrives PRE-TRANSPOSED as ``tjt`` [B, heads, N]
+    so the kernel never transposes an [N, 1] column per head (the v1
+    ``tj[:, h:h+1].T`` relayout cost ~30% of the kernel);
+  * softmax max is taken over ALL columns (no mask select): any finite
+    upper bound works for exp stability, and multiplying by ``ceff``
+    (0 for non-edges) zeroes disallowed terms exactly — two VPU passes
+    per head saved, same math (softmax is shift-invariant);
+  * ``gb`` graphs per grid step amortize per-program overheads;
+  * counts/xh stream in their model dtype (bf16 halves the dominant
+    [B, N, N] DMA; counts are small integers, exact in bf16) and are
+    widened in VMEM; all accumulation stays f32;
+  * gradient outputs for the sender half come out in the transposed
+    [B, heads, N] layout (a row store instead of a per-head column
+    transpose); XLA fuses the outer transpose for free.
 
 Differentiation: pallas_call has no autodiff — a custom VJP recomputes
 alpha in the backward kernel from saved (rowmax, denom) [B, N, h] residuals
 (flash-attention structure).  Attention dropout replays bit-identically in
-the backward via the same per-(graph, head) PRNG seeding.
+the backward via the same per-graph PRNG seeding and generation order.
 
-Numerics match gat_aggregate_dense exactly (same masking, multiplicity, and
-self-loop treatment); parity + grad tests in tests/test_pallas_gat.py run
-the kernel in interpreter mode on CPU.
+Numerics match gat_aggregate_dense (same masking via multiplicity, same
+self-loop treatment; max differs by a shift so results agree to float
+tolerance, not bit-exactly); parity + grad tests in
+tests/test_pallas_gat.py run the kernel in interpreter mode on CPU, and
+benchmarks/parity_tpu.py re-checks fwd+grad on real hardware (Mosaic's
+PRNG and MXU behave differently there — CLAUDE.md kernel rule).
 """
 from __future__ import annotations
 
@@ -28,17 +46,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_SLOPE = 0.2
-_BIG_NEG = -1e30
 
 
 def _leaky(x):
     return jnp.where(x >= 0, x, NEG_SLOPE * x)
 
 
-def _masks(n, dtype):
+def _eye(n):
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (row == col)
+    return row == col
 
 
 def _dropout_keep(shape, rate):
@@ -55,84 +72,96 @@ def _dropout_keep(shape, rate):
     return bits >= thresh
 
 
-def _fwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref,
-                o_ref, m_ref, den_ref, *, heads, d, dropout):
-    counts = counts_ref[0]
-    n = counts.shape[0]
-    eye = _masks(n, counts.dtype)
-    ceff = jnp.where(eye, 1.0, counts)          # self loop multiplicity 1
-    allowed = ceff > 0
-    ti = ti_ref[0]                              # [N, H]
-    tj = tj_ref[0]
-    b = pl.program_id(0)
-    for h in range(heads):
+def _fwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref,
+                o_ref, m_ref, den_ref, *, heads, d, dropout, gb):
+    n = counts_ref.shape[1]
+    eye = _eye(n)
+    p = pl.program_id(0)
+    for b in range(gb):
+        counts = counts_ref[b].astype(jnp.float32)
+        ceff = jnp.where(eye, 1.0, counts)      # self loop multiplicity 1
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
-        pre = ti[:, h:h + 1] + tj[:, h:h + 1].T            # [N, N]
-        s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
-        mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
-        num = jnp.exp(s - mh) * ceff
-        den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
-        alpha = num / den
-        if dropout > 0.0:
-            keep = _dropout_keep((n, n), dropout)
-            alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
-        xh_h = xh_ref[0][:, h * d:(h + 1) * d]
-        o_ref[0, :, h * d:(h + 1) * d] = jnp.dot(
-            alpha, xh_h, preferred_element_type=jnp.float32)
-        m_ref[0, :, h:h + 1] = mh
-        den_ref[0, :, h:h + 1] = den
+            pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+        ti = ti_ref[b].astype(jnp.float32)      # [N, heads]
+        tjt = tjt_ref[b].astype(jnp.float32)    # [heads, N]
+        for h in range(heads):
+            pre = _leaky(ti[:, h:h + 1] + tjt[h:h + 1, :])     # [N, N]
+            # max over ALL columns: a valid (>= masked-max) exp shift; the
+            # ceff factor zeroes non-edges exactly, so no mask select.
+            mh = jnp.max(pre, axis=1, keepdims=True)           # [N, 1]
+            num = jnp.exp(pre - mh) * ceff
+            den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
+            alpha = num / den
+            if dropout > 0.0:
+                keep = _dropout_keep((n, n), dropout)
+                alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+            xh_h = xh_ref[b][:, h * d:(h + 1) * d].astype(jnp.float32)
+            o_ref[b, :, h * d:(h + 1) * d] = jnp.dot(
+                alpha, xh_h, preferred_element_type=jnp.float32)
+            m_ref[b, :, h:h + 1] = mh
+            den_ref[b, :, h:h + 1] = den
 
 
-def _bwd_kernel(seed_ref, ti_ref, tj_ref, counts_ref, xh_ref, m_ref, den_ref,
-                g_ref, dti_ref, dtj_ref, dxh_ref, *, heads, d, dropout):
-    counts = counts_ref[0]
-    n = counts.shape[0]
-    eye = _masks(n, counts.dtype)
-    ceff = jnp.where(eye, 1.0, counts)
-    allowed = ceff > 0
-    ti = ti_ref[0]
-    tj = tj_ref[0]
-    b = pl.program_id(0)
-    for h in range(heads):
+def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
+                den_ref, g_ref, dti_ref, dtjt_ref, dxh_ref,
+                *, heads, d, dropout, gb):
+    n = counts_ref.shape[1]
+    eye = _eye(n)
+    p = pl.program_id(0)
+    for b in range(gb):
+        counts = counts_ref[b].astype(jnp.float32)
+        ceff = jnp.where(eye, 1.0, counts)
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + b * heads + h)
-        pre = ti[:, h:h + 1] + tj[:, h:h + 1].T
-        s = jnp.where(allowed, _leaky(pre), _BIG_NEG)
-        mh = m_ref[0, :, h:h + 1]
-        den = den_ref[0, :, h:h + 1]
-        alpha = jnp.exp(s - mh) * ceff / den               # pre-dropout
-        if dropout > 0.0:
-            keep = _dropout_keep((n, n), dropout)          # same bits as fwd
-            scale = jnp.where(keep, 1.0 / (1.0 - dropout), 0.0)
-            alpha_drop = alpha * scale
-        else:
-            scale = None
-            alpha_drop = alpha
-        xh_h = xh_ref[0][:, h * d:(h + 1) * d]
-        g_h = g_ref[0][:, h * d:(h + 1) * d]
-        # dXh from the message matmul: alpha_drop^T @ g
-        dxh_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
-            alpha_drop, g_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # dAlpha_drop = g @ xh^T
-        dalpha = jax.lax.dot_general(
-            g_h, xh_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if scale is not None:
-            dalpha = dalpha * scale
-        # softmax backward (rows): dS = alpha * (dalpha - sum_s dalpha*alpha)
-        t_sum = jnp.sum(dalpha * alpha, axis=1, keepdims=True)
-        ds = alpha * (dalpha - t_sum)
-        dpre = jnp.where(allowed,
-                         jnp.where(pre >= 0, ds, NEG_SLOPE * ds), 0.0)
-        dti_ref[0, :, h:h + 1] = jnp.sum(dpre, axis=1, keepdims=True)
-        dtj_ref[0, :, h:h + 1] = jnp.sum(dpre, axis=0, keepdims=True).T
+            pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+        ti = ti_ref[b].astype(jnp.float32)
+        tjt = tjt_ref[b].astype(jnp.float32)
+        for h in range(heads):
+            pre = ti[:, h:h + 1] + tjt[h:h + 1, :]
+            lpre = _leaky(pre)
+            mh = m_ref[b, :, h:h + 1]
+            den = den_ref[b, :, h:h + 1]
+            alpha = jnp.exp(lpre - mh) * ceff / den            # pre-dropout
+            if dropout > 0.0:
+                keep = _dropout_keep((n, n), dropout)          # fwd's bits
+                scale = jnp.where(keep, 1.0 / (1.0 - dropout), 0.0)
+                alpha_drop = alpha * scale
+            else:
+                scale = None
+                alpha_drop = alpha
+            xh_h = xh_ref[b][:, h * d:(h + 1) * d].astype(jnp.float32)
+            g_h = g_ref[b][:, h * d:(h + 1) * d]
+            # dXh from the message matmul: alpha_drop^T @ g
+            dxh_ref[b, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+                alpha_drop, g_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dAlpha_drop = g @ xh^T
+            dalpha = jax.lax.dot_general(
+                g_h, xh_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if scale is not None:
+                dalpha = dalpha * scale
+            # softmax backward (rows): dS = alpha*(dalpha - sum dalpha*alpha)
+            t_sum = jnp.sum(dalpha * alpha, axis=1, keepdims=True)
+            ds = alpha * (dalpha - t_sum)      # 0 wherever ceff == 0
+            dpre = jnp.where(pre >= 0, ds, NEG_SLOPE * ds)
+            dti_ref[b, :, h:h + 1] = jnp.sum(dpre, axis=1, keepdims=True)
+            # sender-half grad in TRANSPOSED layout: a row store, no .T
+            dtjt_ref[b, h:h + 1, :] = jnp.sum(dpre, axis=0, keepdims=True)
+
+
+def _graphs_per_block(batch: int, n: int) -> int:
+    """Largest divisor of ``batch`` in {8,4,2,1} whose [gb, N, N] counts
+    block keeps the working set comfortably inside VMEM (double-buffered)."""
+    cap = max(1, (4 * 1024 * 1024) // max(n * n * 4, 1))
+    for g in (8, 4, 2, 1):
+        if g <= cap and batch % g == 0:
+            return g
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash_core(ti, tj, counts, xh_flat, seed, dropout):
-    out, _, _ = _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout)
+def _flash_core(ti, tjt, counts, xh_flat, seed, dropout):
+    out, _, _ = _flash_fwd_call(ti, tjt, counts, xh_flat, seed, dropout)
     return out
 
 
@@ -141,14 +170,16 @@ def _block(spec_shape):
                         memory_space=pltpu.VMEM)
 
 
-def _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout):
+def _flash_fwd_call(ti, tjt, counts, xh_flat, seed, dropout):
     B, n, heads = ti.shape
     hd = xh_flat.shape[-1]
     d = hd // heads
-    kern = functools.partial(_fwd_kernel, heads=heads, d=d, dropout=dropout)
+    gb = _graphs_per_block(B, n)
+    kern = functools.partial(_fwd_kernel, heads=heads, d=d, dropout=dropout,
+                             gb=gb)
     out, m, den = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // gb,),
         in_specs=[
             # seed rides as a [1, 128] SMEM row (not a scalar [1]): vmap's
             # pallas batching rule must be able to block the batched array
@@ -156,15 +187,15 @@ def _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout):
             # block dims to equal the array dims, which a rank-1 scalar
             # operand can't satisfy (fold-parallel training vmaps this call)
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            _block((1, n, heads)),
-            _block((1, n, heads)),
-            _block((1, n, n)),
-            _block((1, n, hd)),
+            _block((gb, n, heads)),
+            _block((gb, heads, n)),
+            _block((gb, n, n)),
+            _block((gb, n, hd)),
         ],
         out_specs=[
-            _block((1, n, hd)),
-            _block((1, n, heads)),
-            _block((1, n, heads)),
+            _block((gb, n, hd)),
+            _block((gb, n, heads)),
+            _block((gb, n, heads)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
@@ -172,48 +203,51 @@ def _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout):
             jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(seed, ti, tj, counts, xh_flat)
+    )(seed, ti, tjt, counts, xh_flat)
     return out, m, den
 
 
-def _flash_fwd(ti, tj, counts, xh_flat, seed, dropout):
-    out, m, den = _flash_fwd_call(ti, tj, counts, xh_flat, seed, dropout)
-    return out, (ti, tj, counts, xh_flat, seed, m, den)
+def _flash_fwd(ti, tjt, counts, xh_flat, seed, dropout):
+    out, m, den = _flash_fwd_call(ti, tjt, counts, xh_flat, seed, dropout)
+    return out, (ti, tjt, counts, xh_flat, seed, m, den)
 
 
 def _flash_bwd(dropout, res, g):
-    ti, tj, counts, xh_flat, seed, m, den = res
+    ti, tjt, counts, xh_flat, seed, m, den = res
     B, n, heads = ti.shape
     hd = xh_flat.shape[-1]
     d = hd // heads
-    kern = functools.partial(_bwd_kernel, heads=heads, d=d, dropout=dropout)
-    dti, dtj, dxh = pl.pallas_call(
+    gb = _graphs_per_block(B, n)
+    kern = functools.partial(_bwd_kernel, heads=heads, d=d, dropout=dropout,
+                             gb=gb)
+    dti, dtjt, dxh = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // gb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            _block((1, n, heads)),
-            _block((1, n, heads)),
-            _block((1, n, n)),
-            _block((1, n, hd)),
-            _block((1, n, heads)),
-            _block((1, n, heads)),
-            _block((1, n, hd)),
+            _block((gb, n, heads)),
+            _block((gb, heads, n)),
+            _block((gb, n, n)),
+            _block((gb, n, hd)),
+            _block((gb, n, heads)),
+            _block((gb, n, heads)),
+            _block((gb, n, hd)),
         ],
         out_specs=[
-            _block((1, n, heads)),
-            _block((1, n, heads)),
-            _block((1, n, hd)),
+            _block((gb, n, heads)),
+            _block((gb, heads, n)),
+            _block((gb, n, hd)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
-            jax.ShapeDtypeStruct((B, n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, heads, n), jnp.float32),
             jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(seed, ti, tj, counts, xh_flat, m, den, g)
+    )(seed, ti, tjt, counts, xh_flat, m, den, g.astype(jnp.float32))
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
-    return dti, dtj, jnp.zeros_like(counts), dxh, dseed
+    return (dti.astype(ti.dtype), dtjt.astype(tjt.dtype),
+            jnp.zeros_like(counts), dxh.astype(xh_flat.dtype), dseed)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
@@ -229,8 +263,10 @@ def flash_gat_dense(
 ) -> jax.Array:
     """Drop-in replacement for ops.gat.gat_aggregate_dense.
 
-    Args: xh [B, N, heads, d]; adj [B, N, N] (row=receiver, counts);
-    att_dst/att_src [heads, d].  Returns [B, N, heads, d].
+    Args: xh [B, N, heads, d]; adj [B, N, N] (row=receiver, counts; any
+    float dtype — streamed to the kernel unconverted, bf16 counts are
+    exact for < 256 duplicate edges); att_dst/att_src [heads, d].
+    Returns [B, N, heads, d] in xh's dtype.
     """
     B, n, heads, d = xh.shape
     if (dropout_rng is not None and dropout_rate > 0.0
@@ -242,9 +278,9 @@ def flash_gat_dense(
 
         return gat_aggregate_dense(xh, adj, att_dst, att_src,
                                    dropout_rate, dropout_rng)
-    ti = jnp.einsum("bnhd,hd->bnh", xh, att_dst)
-    tj = jnp.einsum("bnhd,hd->bnh", xh, att_src)
-    xh_flat = xh.reshape(B, n, heads * d).astype(jnp.float32)
+    ti = jnp.einsum("bnhd,hd->bnh", xh, att_dst).astype(jnp.float32)
+    tjt = jnp.einsum("bnhd,hd->bhn", xh, att_src).astype(jnp.float32)
+    xh_flat = xh.reshape(B, n, heads * d)
     if dropout_rng is not None and dropout_rate > 0.0:
         seed = jnp.broadcast_to(jax.random.randint(
             dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
@@ -253,6 +289,5 @@ def flash_gat_dense(
     else:
         seed = jnp.zeros((1, 128), jnp.int32)
         rate = 0.0
-    out = _flash_core(ti.astype(jnp.float32), tj.astype(jnp.float32),
-                      adj.astype(jnp.float32), xh_flat, seed, rate)
-    return out.reshape(B, n, heads, d)
+    out = _flash_core(ti, tjt, adj, xh_flat, seed, rate)
+    return out.reshape(B, n, heads, d).astype(xh.dtype)

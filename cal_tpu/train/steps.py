@@ -33,16 +33,24 @@ class TrainState:
     step: jax.Array
 
 
-def _as_graph(batch, dtype=None):
+def _as_graph(batch, dtype=None, use_pallas: bool = True):
     """Materialize the device graph; ``dtype`` (the model's compute dtype)
-    lets the adjacency scatter directly into bf16 instead of f32 + a cast —
-    one fewer [B, N, N] HBM round trip per step in mixed-precision mode."""
-    return to_dense(batch, dtype) if isinstance(batch, PackedDenseBatch) else batch
+    lets the adjacency build directly into bf16 instead of f32 + a cast —
+    one fewer [B, N, N] HBM round trip per step in mixed-precision mode.
+    ``use_pallas`` gates the one-hot MXU adjacency kernel (the model's
+    flag, so --use_pallas false disables every custom kernel at once)."""
+    if isinstance(batch, PackedDenseBatch):
+        return to_dense(batch, dtype, use_pallas=use_pallas)
+    return batch
 
 
 def _model_dtype(model):
     dt = getattr(model, "dtype", None)
     return None if dt is None or dt == jnp.float32 else dt
+
+
+def _model_use_pallas(model) -> bool:
+    return bool(getattr(model, "use_pallas", True))
 
 
 def make_init_fn(model, causal: bool = True):
@@ -60,7 +68,8 @@ def make_init_fn(model, causal: bool = True):
 def init_state(
     model, tx, sample_batch, rng, causal: bool = True, init_fn=None
 ) -> TrainState:
-    g = _as_graph(sample_batch, _model_dtype(model))
+    g = _as_graph(sample_batch, _model_dtype(model),
+                  _model_use_pallas(model))
     p_rng, i_rng, d_rng = jax.random.split(rng, 3)
     rngs = {"params": p_rng, "intervention": i_rng, "dropout": d_rng}
     kwargs = {"eval_random": False} if causal else {}
@@ -83,9 +92,10 @@ def _causal_step_fn(model, tx, c_w, o_w, co_w, with_random: bool):
     device-side epoch-scan entry points."""
 
     dt = _model_dtype(model)
+    up = _model_use_pallas(model)
 
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch, dt)
+        g = _as_graph(batch, dt, up)
         i_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -187,10 +197,11 @@ def make_causal_eval_step(model, eval_random: bool):
     eval, co-branch = deterministic xc+xo (train_causal.py:202-223)."""
 
     dt = _model_dtype(model)
+    up = _model_use_pallas(model)
 
     @jax.jit
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch, dt)
+        g = _as_graph(batch, dt, up)
         c_logs, o_logs, co_logs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             g,
@@ -273,9 +284,10 @@ def _baseline_step_fn(model, tx):
     epoch-scan entry points."""
 
     dt = _model_dtype(model)
+    up = _model_use_pallas(model)
 
     def step(state: TrainState, batch, rng):
-        g = _as_graph(batch, dt)
+        g = _as_graph(batch, dt, up)
         d_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -343,10 +355,11 @@ def make_baseline_eval_epoch(model):
 
 def make_baseline_eval_step(model):
     dt = _model_dtype(model)
+    up = _model_use_pallas(model)
 
     @jax.jit
     def step(state: TrainState, batch):
-        g = _as_graph(batch, dt)
+        g = _as_graph(batch, dt, up)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             g,
