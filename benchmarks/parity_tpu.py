@@ -241,9 +241,65 @@ def adj_build_parity():
     check("counts bf16 (exact)", np.asarray(got16, np.float32), want, 0.0)
 
 
+def edge_gat_parity():
+    """Edge-formulated dense-layout GAT (ops/pallas_gat_sparse.py) vs the
+    XLA dense reference — fwd + grads + in-kernel dropout statistics."""
+    print("edge-GAT (edge-formulated dense) vs gat_aggregate_dense:")
+    from cal_tpu.ops.pallas_gat_sparse import edge_gat_dense
+
+    B, N, H, D, EG = 64, 128, 4, 32, 256
+    rng = np.random.default_rng(11)
+    flat = []
+    for g in range(B - 1):
+        e = rng.integers(8, EG - 16)
+        r = rng.integers(0, N - 4, e)
+        s = rng.integers(0, N - 4, e)
+        flat.append((g * N + r) * N + s)
+    flat = np.sort(np.concatenate(flat))
+    ef = np.full(B * EG, B * N * N, np.int32)
+    ef[:len(flat)] = flat
+    adj = np.zeros((B * N * N,), np.float32)
+    np.add.at(adj, ef[ef < B * N * N], 1.0)
+    adj = jnp.asarray(adj.reshape(B, N, N))
+    ef = jnp.asarray(ef)
+    xh = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+    att_dst = jnp.asarray(rng.standard_normal((H, D)) * 0.3, jnp.float32)
+    att_src = jnp.asarray(rng.standard_normal((H, D)) * 0.3, jnp.float32)
+
+    # NOTE on tolerance: the XLA reference itself runs its f32 einsums at
+    # the MXU's DEFAULT (bf16-rounded) precision on hardware, so even an
+    # exact kernel only agrees to ~3e-3 rel-max (same story as the fused
+    # GCN grads above; interpret-mode pytest holds 2e-5).
+    ref = jax.jit(lambda x: gat_aggregate_dense(x, adj, att_dst, att_src))
+    got = jax.jit(lambda x: edge_gat_dense(x, ef, EG, att_dst, att_src))
+    check("fwd f32", got(xh), ref(xh), 1e-2)
+    gr = jax.jit(jax.grad(lambda x: jnp.sum(ref(x) ** 2)))(xh)
+    gf = jax.jit(jax.grad(lambda x: jnp.sum(got(x) ** 2)))(xh)
+    check("grad dxh f32", gf, gr, 1e-2)
+    got16 = jax.jit(lambda x: edge_gat_dense(
+        x.astype(jnp.bfloat16), ef, EG, att_dst.astype(jnp.bfloat16),
+        att_src.astype(jnp.bfloat16)))
+    check("fwd bf16", np.asarray(got16(xh), np.float32), ref(xh), 0.05)
+    k = jax.random.PRNGKey(3)
+    gotd = jax.jit(lambda x: edge_gat_dense(
+        x, ef, EG, att_dst, att_src, 0.2, k))(xh)
+    ratio = float(np.mean(np.abs(gotd)) / np.mean(np.abs(got(xh))))
+    ok = 0.8 < ratio < 1.25
+    if not ok:
+        FAILS.append("edge-gat dropout mean")
+    print(f"  {'dropout mean ratio':28s} {ratio:.4f}  "
+          f"({'ok' if ok else 'FAIL'}, want ~1)")
+    gd1 = jax.jit(jax.grad(lambda x: jnp.sum(edge_gat_dense(
+        x, ef, EG, att_dst, att_src, 0.2, k) ** 2)))(xh)
+    gd2 = jax.jit(jax.grad(lambda x: jnp.sum(edge_gat_dense(
+        x, ef, EG, att_dst, att_src, 0.2, k) ** 2)))(xh)
+    check("dropout grad replay", gd1, gd2, 0.0)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
+    edge_gat_parity()
     gcn_dense_parity()
     adj_build_parity()
     spmm_parity()

@@ -107,6 +107,11 @@ class DenseGraphBatch:
       node_mask:  [B, N] bool  True for real nodes.
       y:          [B] int32  labels.
       graph_mask: [B] bool  True for real graphs (contiguous prefix).
+      edge_flat:  optional [E] sorted flat edge indices (the PackedDenseBatch
+                  form, carried through to_dense) — lets the GAT backbone run
+                  the edge-formulated attention kernel
+                  (ops/pallas_gat_sparse.py) instead of N^2 dense softmax.
+      eg_budget:  static — max edges per graph budget for that kernel.
     """
 
     x: jax.Array
@@ -114,6 +119,8 @@ class DenseGraphBatch:
     node_mask: jax.Array
     y: jax.Array
     graph_mask: jax.Array
+    edge_flat: jax.Array | None = None
+    eg_budget: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_graphs(self) -> int:
@@ -282,6 +289,9 @@ def to_dense(p: PackedDenseBatch, dtype=None,
         node_mask=node_mask,
         y=p.y,
         graph_mask=p.n_nodes > 0,
+        edge_flat=(p.edge_flat if p.eg_budget > 0
+                   and p.edge_flat.dtype == jnp.int32 else None),
+        eg_budget=p.eg_budget,
     )
 
 

@@ -216,10 +216,23 @@ class GATConvLayer(nn.Module):
         if isinstance(g, DenseGraphBatch):
             bsz, n, _ = x.shape
             xh = (x @ w).reshape(bsz, n, self.heads, self.out_per_head)
-            if self.use_flash:
+            rate = self.dropout if not deterministic else 0.0
+            # crossover between the two fused attention kernels (measured
+            # r3, v5e): the edge-formulated kernel's cost scales with the
+            # per-graph edge window Eg' x N (one-hot decode + MXU
+            # gather/scatter) while flash scales with N^2 x heads of VPU
+            # softmax; edge wins when the window stays under ~3N.
+            eg_rows = -(-max(g.eg_budget, 1) // 128) + 2
+            if (self.use_flash and g.edge_flat is not None
+                    and eg_rows * 128 <= 3 * n):
+                from cal_tpu.ops.pallas_gat_sparse import edge_gat_dense
+
+                out = edge_gat_dense(
+                    xh, g.edge_flat, g.eg_budget, att_dst, att_src,
+                    rate, rng).astype(self.dtype)
+            elif self.use_flash:
                 out = flash_gat_dense(
-                    xh, g.adj, att_dst, att_src,
-                    self.dropout if not deterministic else 0.0, rng
+                    xh, g.adj, att_dst, att_src, rate, rng
                 ).astype(self.dtype)
             else:
                 out = gat_aggregate_dense(

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_SLOPE = 0.2
+_BIG_NEG = -1e30
 
 
 def _leaky(x):
@@ -82,14 +83,18 @@ def _fwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref,
         ceff = jnp.where(eye, 1.0, counts)      # self loop multiplicity 1
         if dropout > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+        allowed = ceff > 0
         ti = ti_ref[b].astype(jnp.float32)      # [N, heads]
         tjt = tjt_ref[b].astype(jnp.float32)    # [heads, N]
         for h in range(heads):
+            # the max MUST be over allowed cells only: an unmasked max can
+            # land on a non-edge far above every edge score, underflowing
+            # the denominator to 0 -> NaN (observed mid-training on SYNHIV
+            # once score spread exceeded exp's f32 range).
             pre = _leaky(ti[:, h:h + 1] + tjt[h:h + 1, :])     # [N, N]
-            # max over ALL columns: a valid (>= masked-max) exp shift; the
-            # ceff factor zeroes non-edges exactly, so no mask select.
-            mh = jnp.max(pre, axis=1, keepdims=True)           # [N, 1]
-            num = jnp.exp(pre - mh) * ceff
+            s = jnp.where(allowed, pre, _BIG_NEG)
+            mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
+            num = jnp.exp(s - mh) * ceff
             den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
             alpha = num / den
             if dropout > 0.0:
@@ -113,12 +118,13 @@ def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
         ceff = jnp.where(eye, 1.0, counts)
         if dropout > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+        allowed = ceff > 0
         ti = ti_ref[b].astype(jnp.float32)
         tjt = tjt_ref[b].astype(jnp.float32)
         for h in range(heads):
             pre = ti[:, h:h + 1] + tjt[h:h + 1, :]
-            lpre = _leaky(pre)
-            mh = m_ref[b, :, h:h + 1]
+            lpre = jnp.where(allowed, _leaky(pre), _BIG_NEG)   # masked (see
+            mh = m_ref[b, :, h:h + 1]                          # fwd kernel)
             den = den_ref[b, :, h:h + 1]
             alpha = jnp.exp(lpre - mh) * ceff / den            # pre-dropout
             if dropout > 0.0:

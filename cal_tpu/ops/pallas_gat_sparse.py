@@ -1,0 +1,452 @@
+"""Edge-formulated GAT backbone for the dense-regime layout (Pallas/TPU).
+
+The dense flash-GAT kernel (ops/pallas_gat.py) evaluates N^2 softmax cells
+per graph per head where only ~1k edges are real — at bench density that is
+246x more VPU work than the edges require, and after the r3 kernel fixes the
+N^2 * heads VPU chain IS the step's wall (r2 verdict item 1; BASELINE.md
+anatomy).  This kernel formulates the SAME PyG-1.1.0 GATConv attention over
+the per-graph edge list while keeping every gather/scatter on the MXU:
+
+  per graph g (edges = the batch's sorted ``edge_flat`` slice):
+    oh_r, oh_s  [Eg, N]   one-hot matrices built in-register (iota compare)
+    tie/tje     [Eg, H]   = oh_r @ ti, oh_s @ tj          (MXU gather)
+    score       [Eg, H]   = leaky_relu(tie + tje)          (VPU, Eg cells!)
+    seg max     [Eg, H]   log-shift max over the receiver-sorted edge list
+                          (edges with equal receiver are contiguous)
+    m_tot       [N, H]    = max(segment max scattered via sum/deg, self)
+    num/den/alpha          exp + one-hot scatter matmuls; analytic self loop
+    out         [N, hd]   = oh_r^T @ ((oh_s @ xh) * alpha_expanded) + self
+
+so the per-cell work drops from N^2*H softmax cells to Eg*H, and the only
+O(Eg*N) terms are one-hot matmuls on the MXU (where the machine has 100x
+the VPU's throughput).  Attention dropout runs in-kernel on [Eg, H] /
+[N, H] coefficients (not [N, N]!) with the same signed-bits-safe PRNG as
+flash-GAT, replayed bit-identically in the backward.
+
+Numerics: identical masking/multiplicity/self-loop semantics as
+``gat_aggregate_dense`` (reference model.py:340, PyG 1.1.0 formulation).
+The softmax shift uses the per-receiver segment max reconstructed through a
+sum/deg scatter — algebraically a valid shift (softmax is shift-invariant),
+so results agree to float tolerance.  ``precision='f32'`` runs every matmul
+at HIGHEST (exact f32) for parity tests; the default bf16 mode rounds the
+message/score operands to bf16 (~1e-3 rel), which is the production
+mixed-precision config's native rounding anyway.
+
+Parity: tests/test_pallas_gat_sparse.py (interpret mode) and
+benchmarks/parity_tpu.py (hardware).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_SLOPE = 0.2
+_BIG_NEG = -1e30
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, NEG_SLOPE * x)
+
+
+def _dropout_keep(shape, rate):
+    bits = pltpu.prng_random_bits(shape)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    thresh = jnp.uint32(int(rate * float(2**32)))
+    return bits >= thresh
+
+
+def _bcast_matrix(heads: int, width: int, dtype):
+    d = width // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (heads, width), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (heads, width), 1)
+    return (col // d == row).astype(dtype)
+
+
+def _mm(a, b, prec):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
+
+
+def _mm_t(a, b, prec):
+    """a^T @ b with contraction over dim 0."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _decode_edges(ef_ref, start, g, n, rb, oh_dtype):
+    """Load + decode this graph's edge window -> one-hot matrices.
+
+    Returns (oh_r, oh_s) [rb*128, n] (one-hots are exact in any dtype)."""
+    row0 = jnp.minimum(start // 128, ef_ref.shape[0] - rb)
+    sl = ef_ref[pl.ds(row0, rb), :]                         # [rb, 128]
+    local = sl - g * (n * n)
+    valid = (local >= 0) & (local < n * n)
+    local = jnp.where(valid, local, 0)
+    r = local // n
+    s = local - r * n
+    valid &= r != s          # self loops dropped; analytic self term instead
+    r = jnp.where(valid, r, n)          # invalid -> all-zero one-hot row
+    s = jnp.where(valid, s, n)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rb, 128, n), 2)
+    oh_r = (r[:, :, None] == iota).astype(oh_dtype).reshape(rb * 128, n)
+    oh_s = (s[:, :, None] == iota).astype(oh_dtype).reshape(rb * 128, n)
+    return oh_r, oh_s
+
+
+def _segment_max(score_t, r_row, n_shifts):
+    """Max over runs of equal receiver (receiver-sorted edge window).
+
+    TRANSPOSED scalar plane: score_t [H, Eg] (heads on sublanes, edges on
+    lanes — a [H(pad 8), Eg] op touches ~Eg/128 vregs instead of the Eg/8
+    an [Eg, H(pad 128)] layout costs); r_row [1, Eg] receiver ids (invalid
+    slots share the sentinel id n; their -inf never propagates).  Circular
+    lane rolls in both directions, doubling the window each round."""
+    eg = score_t.shape[1]
+    m = score_t
+    shift = 1
+    for _ in range(n_shifts):
+        up = pltpu.roll(m, eg - shift, 1)          # roll by -shift (circular)
+        r_up = pltpu.roll(r_row, eg - shift, 1)
+        m = jnp.maximum(m, jnp.where(r_up == r_row, up, _BIG_NEG))
+        dn = pltpu.roll(m, shift, 1)
+        r_dn = pltpu.roll(r_row, shift, 1)
+        m = jnp.maximum(m, jnp.where(r_dn == r_row, dn, _BIG_NEG))
+        shift *= 2
+    return m
+
+
+def _gather_t(plane_n, oh, prec):
+    """[K, N] node-plane -> [K, Eg] edge-plane via oh^T on the MXU.
+
+    The one-hot side has exactly one 1 per row, so the gather itself is
+    exact in any dtype; the plane cast to the one-hot's dtype is where the
+    bf16 mode rounds values (~1e-3, its native precision)."""
+    return jax.lax.dot_general(
+        plane_n.astype(oh.dtype), oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _scatter_t(plane_e, oh, prec):
+    """[K, Eg] edge-plane -> [K, N] node-plane (sum over edges)."""
+    return jnp.dot(plane_e.astype(oh.dtype), oh,
+                   preferred_element_type=jnp.float32, precision=prec)
+
+
+def _expand_heads(plane_t, bc, prec):
+    """[H, X] transposed plane -> [X, H*d] with each head's value
+    replicated over its d lanes (one K=H matmul)."""
+    return jax.lax.dot_general(
+        plane_t, bc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _alpha_core(oh_r, oh_s, tit, tjt, n, heads, prec_s):
+    """Shared fwd/bwd attention math up to the normalized coefficients.
+
+    All per-edge/per-node SCALAR planes live transposed ([H, Eg] / [H, N]);
+    tit/tjt: [H, N] f32.  Returns (alpha_t [H, Eg], alpha_self_t [H, N],
+    aux) with aux = (pre_t, valid_row, self_pre_t, inv_den_t)."""
+    eg = oh_r.shape[0]
+    # one fused gather: rows = [ti (H) ; receiver-id hi/lo (2) ; ones (1)].
+    # The id rides as hi*16 + lo nibbles so it survives a bf16 one-hot
+    # exactly for any n <= 4096 (bf16 integers are exact only to 256).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    iota_hi = (iota // 16).astype(jnp.float32)
+    iota_lo = (iota % 16).astype(jnp.float32)
+    ones_row = jnp.ones((1, n), jnp.float32)
+    packed = jnp.concatenate([tit, iota_hi, iota_lo, ones_row],
+                             axis=0)                             # [H+3, N]
+    gath = _gather_t(packed, oh_r, prec_s)                       # [H+3, Eg]
+    tie_t = gath[:heads]
+    valid_row = gath[heads + 2:heads + 3]                        # [1, Eg]
+    r_row = (gath[heads:heads + 1] * 16.0 + gath[heads + 1:heads + 2]
+             + (1.0 - valid_row) * n)
+    tje_t = _gather_t(tjt, oh_s, prec_s)                         # [H, Eg]
+    pre_t = tie_t + tje_t
+    score_t = jnp.where(valid_row > 0, _leaky(pre_t), _BIG_NEG)
+    n_shifts = max(int(np.ceil(np.log2(max(eg, 2)))), 1)
+    m_seg = _segment_max(score_t, r_row, n_shifts)
+    # scatter the (segment-constant) max to nodes: sum/deg is exact enough
+    # for a softmax shift; -inf slots zeroed first so the sum stays finite
+    m_zero = jnp.where(m_seg > _BIG_NEG / 2, m_seg, 0.0)
+    packed_s = jnp.concatenate(
+        [m_zero, jnp.broadcast_to(valid_row, (1, eg))], axis=0)
+    scat = _scatter_t(packed_s, oh_r, prec_s)                    # [H+1, N]
+    m_sum, deg = scat[:heads], scat[heads:heads + 1]
+    m_node = m_sum / jnp.maximum(deg, 1.0)
+    self_pre_t = tit + tjt                                       # [H, N]
+    self_score = _leaky(self_pre_t)
+    m_tot = jnp.where(deg > 0, jnp.maximum(m_node, self_score), self_score)
+    me_t = _gather_t(m_tot, oh_r, prec_s)                        # [H, Eg]
+    num_t = jnp.where(valid_row > 0, jnp.exp(score_t - me_t), 0.0)
+    num_self = jnp.exp(self_score - m_tot)                       # [H, N]
+    den = _scatter_t(num_t, oh_r, prec_s) + num_self             # [H, N]
+    inv_den = 1.0 / den
+    alpha_t = num_t * _gather_t(inv_den, oh_r, prec_s)
+    alpha_self_t = num_self * inv_den
+    return alpha_t, alpha_self_t, (pre_t, valid_row, self_pre_t, inv_den)
+
+
+def _fwd_kernel(starts_ref, seed_ref, ef_ref, tit_ref, tjt_ref, xh_ref,
+                o_ref, *, n, heads, rb, gb, dropout, prec_m):
+    oh_dtype, prec = prec_m
+    p = pl.program_id(0)
+    hd = xh_ref.shape[-1]
+    bc = _bcast_matrix(heads, hd, jnp.float32)
+    for b in range(gb):
+        g = p * gb + b
+        oh_r, oh_s = _decode_edges(ef_ref, starts_ref[g], g, n, rb, oh_dtype)
+        alpha_t, alpha_self_t, _ = _alpha_core(
+            oh_r, oh_s, tit_ref[b], tjt_ref[b], n, heads, prec)
+        if dropout > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + g)
+            keep_e = _dropout_keep(alpha_t.shape, dropout)
+            keep_s = _dropout_keep(alpha_self_t.shape, dropout)
+            alpha_t = jnp.where(keep_e, alpha_t / (1.0 - dropout), 0.0)
+            alpha_self_t = jnp.where(
+                keep_s, alpha_self_t / (1.0 - dropout), 0.0)
+        xh = xh_ref[b]
+        gx = _mm(oh_s, xh.astype(oh_dtype), prec)            # [Eg, hd]
+        msg = gx * _expand_heads(alpha_t, bc, prec)
+        out = _mm_t(oh_r, msg.astype(oh_dtype), prec)        # [N, hd]
+        self_w = _expand_heads(alpha_self_t, bc, prec)       # [N, hd]
+        o_ref[b] = (out + self_w * xh.astype(jnp.float32)).astype(
+            o_ref.dtype)
+
+
+def _bwd_kernel(starts_ref, seed_ref, ef_ref, tit_ref, tjt_ref, xh_ref,
+                g_ref, dtit_ref, dtjt_ref, dxh_ref, *, n, heads, rb, gb,
+                dropout, prec_m):
+    oh_dtype, prec = prec_m
+    p = pl.program_id(0)
+    hd = xh_ref.shape[-1]
+    bc = _bcast_matrix(heads, hd, jnp.float32)
+    for b in range(gb):
+        g = p * gb + b
+        oh_r, oh_s = _decode_edges(ef_ref, starts_ref[g], g, n, rb, oh_dtype)
+        alpha_t, alpha_self_t, aux = _alpha_core(
+            oh_r, oh_s, tit_ref[b], tjt_ref[b], n, heads, prec)
+        pre_t, valid_row, self_pre_t, _inv_den = aux
+        if dropout > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + g)        # fwd's bit stream
+            keep_e = _dropout_keep(alpha_t.shape, dropout)
+            keep_s = _dropout_keep(alpha_self_t.shape, dropout)
+            scale_e = jnp.where(keep_e, 1.0 / (1.0 - dropout), 0.0)
+            scale_s = jnp.where(keep_s, 1.0 / (1.0 - dropout), 0.0)
+        else:
+            scale_e = scale_s = None
+        xh = xh_ref[b].astype(jnp.float32)
+        gr = g_ref[b]
+        a_drop_t = alpha_t * scale_e if scale_e is not None else alpha_t
+        a_drop_s = (alpha_self_t * scale_s if scale_s is not None
+                    else alpha_self_t)
+        # dXh: out = oh_r^T @ ((oh_s@xh) * a~exp) + a~self_exp * xh
+        gg = _mm(oh_r, gr.astype(oh_dtype), prec)            # [Eg, hd]
+        cexp = _expand_heads(a_drop_t, bc, prec)
+        dxh = _mm_t(oh_s, (gg * cexp).astype(oh_dtype), prec)
+        dxh = dxh + _expand_heads(a_drop_s, bc, prec) * gr
+        dxh_ref[b] = dxh.astype(dxh_ref.dtype)
+        # dAlpha (per edge per head, transposed plane): bc @ (gg*gx)^T
+        gx = _mm(oh_s, xh.astype(oh_dtype), prec)            # [Eg, hd]
+        dalpha_t = jax.lax.dot_general(
+            bc, (gg * gx).astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)   # [H, Eg]
+        dalpha_self = jax.lax.dot_general(
+            bc, gr * xh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)   # [H, N]
+        if scale_e is not None:
+            dalpha_t = dalpha_t * scale_e
+            dalpha_self = dalpha_self * scale_s
+        # softmax backward per receiver segment (incl. the self term)
+        t_node = (_scatter_t(alpha_t * dalpha_t, oh_r, prec)
+                  + alpha_self_t * dalpha_self)              # [H, N]
+        ds_t = alpha_t * (dalpha_t - _gather_t(t_node, oh_r, prec))
+        ds_self = alpha_self_t * (dalpha_self - t_node)
+        dpre_t = jnp.where(pre_t >= 0, ds_t, NEG_SLOPE * ds_t)
+        dpre_t = jnp.where(valid_row > 0, dpre_t, 0.0)
+        dpre_self = jnp.where(self_pre_t >= 0, ds_self, NEG_SLOPE * ds_self)
+        dtit_ref[b] = (_scatter_t(dpre_t, oh_r, prec)
+                       + dpre_self).astype(dtit_ref.dtype)
+        dtjt_ref[b] = (_scatter_t(dpre_t, oh_s, prec)
+                       + dpre_self).astype(dtjt_ref.dtype)
+
+
+def _graphs_per_block(batch: int, eg_rows: int, n: int) -> int:
+    # the f32 one-hot pair plus its bf16 casts and the [Eg, hd] message
+    # intermediates dominate the kernel's VMEM stack; Mosaic's scoped-vmem
+    # limit is 16 MB, so keep the per-block one-hot pair under ~3 MB
+    cap = max(1, (3 * 1024 * 1024) // max(2 * eg_rows * 128 * n * 4, 1))
+    for g in (4, 2, 1):
+        if g <= cap and batch % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _edge_gat_core(ef2, starts, ti, tj, xh, seed, eg_budget, dropout,
+                   precision):
+    out = _edge_gat_fwd_call(ef2, starts, ti, tj, xh, seed, eg_budget,
+                             dropout, precision)
+    return out
+
+
+def _prec_m(precision):
+    if precision == "f32":
+        return (jnp.float32, jax.lax.Precision.HIGHEST)
+    return (jnp.bfloat16, jax.lax.Precision.DEFAULT)
+
+
+def _block(shape):
+    return pl.BlockSpec(shape, lambda p, starts: (p,) + (0,) * (len(shape) - 1),
+                        memory_space=pltpu.VMEM)
+
+
+def _edge_gat_fwd_call(ef2, starts, ti, tj, xh, seed, eg_budget, dropout,
+                       precision):
+    B, heads, n = ti.shape
+    hd = xh.shape[-1]
+    rb = -(-eg_budget // 128) + 2
+    gb = _graphs_per_block(B, rb, n)
+    kern = functools.partial(
+        _fwd_kernel, n=n, heads=heads, rb=rb, gb=gb, dropout=dropout,
+        prec_m=_prec_m(precision))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // gb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # seed [1,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # ef2 (resident)
+            _block((gb, heads, n)),
+            _block((gb, heads, n)),
+            _block((gb, n, hd)),
+        ],
+        out_specs=_block((gb, n, hd)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(starts, seed, ef2, ti, tj, xh)
+
+
+def _edge_gat_fwd(ef2, starts, ti, tj, xh, seed, eg_budget, dropout,
+                  precision):
+    out = _edge_gat_fwd_call(ef2, starts, ti, tj, xh, seed, eg_budget,
+                             dropout, precision)
+    return out, (ef2, starts, ti, tj, xh, seed)
+
+
+def _edge_gat_bwd(eg_budget, dropout, precision, res, g):
+    ef2, starts, ti, tj, xh, seed = res
+    B, heads, n = ti.shape
+    hd = xh.shape[-1]
+    rb = -(-eg_budget // 128) + 2
+    gb = _graphs_per_block(B, rb, n)
+    kern = functools.partial(
+        _bwd_kernel, n=n, heads=heads, rb=rb, gb=gb, dropout=dropout,
+        prec_m=_prec_m(precision))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // gb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _block((gb, heads, n)),
+            _block((gb, heads, n)),
+            _block((gb, n, hd)),
+            _block((gb, n, hd)),
+        ],
+        out_specs=[
+            _block((gb, heads, n)),
+            _block((gb, heads, n)),
+            _block((gb, n, hd)),
+        ],
+    )
+    dti, dtj, dxh = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, heads, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, heads, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(starts, seed, ef2, ti, tj, xh, g.astype(jnp.float32))
+    return (np.zeros(ef2.shape, jax.dtypes.float0),
+            np.zeros(starts.shape, jax.dtypes.float0),
+            dti.astype(ti.dtype), dtj.astype(tj.dtype),
+            dxh.astype(xh.dtype),
+            np.zeros(seed.shape, jax.dtypes.float0))
+
+
+_edge_gat_core.defvjp(_edge_gat_fwd, _edge_gat_bwd)
+
+
+def edge_gat_dense(
+    xh: jax.Array,
+    edge_flat: jax.Array,
+    eg_budget: int,
+    att_dst: jax.Array,
+    att_src: jax.Array,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Edge-formulated drop-in for ``flash_gat_dense`` on dense batches that
+    carry their compact edge list (DenseGraphBatch.edge_flat).
+
+    Args: xh [B, N, heads, d]; edge_flat [E] sorted flat (g*N+r)*N+s indices
+    (padding >= B*N*N); eg_budget: static max edges per graph.
+    Returns [B, N, heads, d] in xh's dtype.
+    """
+    B, n, heads, d = xh.shape
+    if (dropout_rng is not None and dropout_rate > 0.0
+            and jax.default_backend() != "tpu"):
+        # interpret mode can't lower the TPU PRNG — XLA dense fallback
+        from cal_tpu.graph import DenseGraphBatch  # noqa: F401  (doc only)
+        from cal_tpu.ops.gat import gat_aggregate_dense
+
+        adj = _counts_from_edge_flat(edge_flat, B, n, xh.dtype)
+        return gat_aggregate_dense(xh, adj, att_dst, att_src,
+                                   dropout_rate, dropout_rng)
+    # transposed scalar planes: [B, heads, N] (see kernel docstring)
+    ti = jnp.einsum("bnhd,hd->bhn", xh, att_dst).astype(jnp.float32)
+    tj = jnp.einsum("bnhd,hd->bhn", xh, att_src).astype(jnp.float32)
+    xh_flat = xh.reshape(B, n, heads * d)
+    e = edge_flat.shape[0]
+    rb = -(-eg_budget // 128) + 2
+    rows = -(-e // 128) + rb
+    pad = rows * 128 - e
+    ef2 = jnp.concatenate(
+        [edge_flat,
+         jnp.full((pad,), B * n * n, edge_flat.dtype)]).reshape(rows, 128)
+    bounds = jnp.arange(B, dtype=edge_flat.dtype) * (n * n)
+    starts = jnp.searchsorted(edge_flat, bounds).astype(jnp.int32)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        seed = jnp.broadcast_to(jax.random.randint(
+            dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+            (1, 128))
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.zeros((1, 128), jnp.int32)
+        rate = 0.0
+    precision = "f32" if xh.dtype == jnp.float32 else "bf16"
+    out = _edge_gat_core(ef2, starts, ti, tj, xh_flat, seed,
+                         int(eg_budget), rate, precision)
+    return out.reshape(B, n, heads, d).astype(xh.dtype)
+
+
+def _counts_from_edge_flat(edge_flat, b, n, dtype):
+    return (jnp.zeros((b * n * n,), jnp.float32)
+            .at[edge_flat]
+            .add(1.0, mode="drop", indices_are_sorted=True)
+            .reshape(b, n, n).astype(dtype))

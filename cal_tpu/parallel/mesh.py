@@ -99,6 +99,12 @@ def shard_batch(batch, mesh: Mesh):
         import dataclasses
 
         batch = dataclasses.replace(batch, tiles=None)
+    if isinstance(batch, DenseGraphBatch) and batch.edge_flat is not None:
+        # edge_flat indexes the GLOBAL graph dimension — it doesn't survive
+        # dp sharding; the dense path falls back to the [B, N, N] math.
+        import dataclasses
+
+        batch = dataclasses.replace(batch, edge_flat=None, eg_budget=0)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), batch_pspecs(batch)
     )

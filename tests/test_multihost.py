@@ -50,11 +50,13 @@ def test_global_batch_assembles_dp_sharded_arrays(graphs, layout):
     local = _batch(graphs, layout)
     gb = multihost.global_batch(local, mesh)
 
+    from jax.sharding import PartitionSpec
+
     specs = batch_pspecs(local)
     for name in vars(specs):
         spec = getattr(specs, name)
-        if spec is None:
-            continue
+        if not isinstance(spec, PartitionSpec):
+            continue          # static metadata fields (e.g. eg_budget)
         arr = getattr(gb, name)
         host = np.asarray(getattr(local, name))
         # at process_count=1 the global array == the local shard, dp-sharded

@@ -81,3 +81,34 @@ def test_empty_rows_are_finite(rng):
     ref = gat_aggregate_dense(xh, adj, att_dst, att_src)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+
+
+def test_large_score_spread_stays_finite():
+    """Regression (r3, SYNHIV NaN): with attention scores whose max over a
+    row lands on a NON-edge cell ~200 above every edge score, an unmasked
+    softmax shift underflows the denominator to 0 -> NaN.  The kernel must
+    take the max over allowed cells only."""
+    import numpy as np
+
+    from cal_tpu.ops.gat import gat_aggregate_dense
+    from cal_tpu.ops.pallas_gat import flash_gat_dense
+
+    rng = np.random.default_rng(0)
+    B, N, H, D = 2, 16, 2, 4
+    xh = rng.standard_normal((B, N, H, D)).astype(np.float32)
+    # huge att magnitudes -> scores spread over hundreds of units
+    att_dst = (rng.standard_normal((H, D)) * 40).astype(np.float32)
+    att_src = (rng.standard_normal((H, D)) * 40).astype(np.float32)
+    adj = np.zeros((B, N, N), np.float32)
+    adj[:, np.arange(1, N), np.arange(N - 1)] = 1.0   # sparse chain
+    out = flash_gat_dense(jnp.asarray(xh), jnp.asarray(adj),
+                          jnp.asarray(att_dst), jnp.asarray(att_src))
+    assert bool(jnp.isfinite(out).all())
+    ref = gat_aggregate_dense(jnp.asarray(xh), jnp.asarray(adj),
+                              jnp.asarray(att_dst), jnp.asarray(att_src))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda x: jnp.sum(flash_gat_dense(
+        x, jnp.asarray(adj), jnp.asarray(att_dst), jnp.asarray(att_src))))(
+        jnp.asarray(xh))
+    assert bool(jnp.isfinite(g).all())
