@@ -103,13 +103,15 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
         return jax.lax.scan(body, state, jnp.arange(epochs_per_call))
 
     # XLA's own HBM-traffic estimate (the honest roofline numerator —
-    # counts actual buffer reads/writes at fusion boundaries).
+    # counts actual buffer reads/writes at fusion boundaries).  Cost
+    # analysis counts a scan BODY once regardless of trip count, so lower
+    # the single-epoch function (its per-batch scan body = one step when
+    # n_batches covers the epoch) and scale by executed steps.
     try:
-        cost = (superstep.lower(state, stacked, rng).compile()
-                .cost_analysis())
-        bytes_per_call = float(cost.get("bytes accessed", 0.0))
+        cost = epoch_fn.lower(state, stacked, rng).compile().cost_analysis()
+        bytes_per_step = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        bytes_per_call = 0.0
+        bytes_per_step = 0.0
 
     # warmup: compile + let the runtime reach steady state.  Iterations
     # chain through `state`, so the device must execute serially; the final
@@ -136,8 +138,8 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
 
     edges_per_s = n_steps / dt * edges_per_batch
     out = {"edges_per_s": edges_per_s}
-    if bytes_per_call:
-        gbps = bytes_per_call * n_calls / dt / 1e9
+    if bytes_per_step:
+        gbps = bytes_per_step * n_steps / dt / 1e9
         out["pct_hbm_roofline"] = round(
             100.0 * gbps / HW_PEAKS[tpu_generation()]["hbm_gbps"], 1)
     return out
@@ -145,18 +147,21 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
 
 def bench_spmm_tiled(v: int = 8192, e: int = 131072, h: int = 128) -> dict:
     """Block-COO tiled Pallas SpMM at large-graph scale, on the
-    TRAINING-relevant basis: fwd + full backward (dx and d(edge_weight))
-    through the aggregate — what the kernel actually runs per step inside
-    a conv stack (round-2 verdict: the forward-only basis contradicted the
-    fwd+bwd claim in benchmarks/sweep_spmm.py and read as a regression).
+    TRAINING-relevant basis: fwd + full backward of the sigmoid-weighted
+    aggregate (the causal masked conv: w_e = sigma(src[s]+dst[r])) — what
+    the kernel actually runs per step on the sparse layout.  Tiled side:
+    the tile-order fused chain (gcn_aggregate_sparse_sigmoid_pallas, r3 —
+    no [E]-order coef gather/scatter) with bf16 tiles (the production
+    mixed-precision config); XLA side: the same math with materialized
+    per-edge weights over segment ops.
 
     The roofline denominator stays the forward byte floor (one gathered
     read + one scattered write of H-wide rows per edge) scaled by the three
     kernel invocations of a fwd+bwd (fwd SpMM, transposed SpMM for dx,
     SDDMM for dcoef)."""
     from cal_tpu.ops.pallas_spmm import (
-        NODE_BLOCK, TILE_EDGES, build_tiles, gcn_aggregate_sparse_pallas,
-        tile_budget_for)
+        NODE_BLOCK, TILE_EDGES, build_tiles,
+        gcn_aggregate_sparse_sigmoid_pallas, tile_budget_for)
 
     rng = np.random.default_rng(0)
     senders = rng.integers(0, v, size=e)
@@ -164,37 +169,42 @@ def bench_spmm_tiled(v: int = 8192, e: int = 131072, h: int = 128) -> dict:
     edge_mask = np.arange(e) < int(e * 0.9)           # 10% padding tail
     live_edges = float(edge_mask.sum())
     x = jnp.asarray(rng.standard_normal((v, h)).astype(np.float32))
-    w = jnp.asarray(rng.random(e).astype(np.float32))
+    src = jnp.asarray(rng.standard_normal(v).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal(v).astype(np.float32))
     budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
-    tf = build_tiles(senders, receivers, v, tile_budget=budget)
-    tb = build_tiles(receivers, senders, v, tile_budget=budget)
+    tf = build_tiles(senders, receivers, v, tile_budget=budget,
+                     precision="bf16", edge_mask=edge_mask)
+    tb = build_tiles(receivers, senders, v, tile_budget=budget,
+                     precision="bf16", edge_mask=edge_mask)
     s_j, r_j, m_j = (jnp.asarray(senders, jnp.int32),
                      jnp.asarray(receivers, jnp.int32),
                      jnp.asarray(edge_mask))
 
-    def agg(xv, wv):
-        return gcn_aggregate_sparse_pallas(xv, s_j, r_j, m_j, tf, tb, wv)
+    def agg(xv, srcv, dstv):
+        return gcn_aggregate_sparse_sigmoid_pallas(xv, srcv, dstv, tf, tb)
 
-    def agg_xla(xv, wv):
+    def agg_xla(xv, srcv, dstv):
         from cal_tpu.ops.gcn import gcn_aggregate_sparse
 
-        return gcn_aggregate_sparse(xv, s_j, r_j, m_j, wv)
+        w = jax.nn.sigmoid(srcv[s_j] + dstv[r_j])
+        return gcn_aggregate_sparse(xv, s_j, r_j, m_j, w)
 
     iters = 50
 
     def timeit(fn):
-        # fwd+bwd: differentiate w.r.t. x AND the edge weights (both grads
-        # are live in training: dx feeds the conv stack, dcoef feeds the
-        # attention MLP through the sigmoid edge weights).
-        def loss(xv, wv):
-            return jnp.sum(fn(xv, wv) ** 2)
+        # fwd+bwd: differentiate w.r.t. x AND the weight factors (both
+        # grads are live in training: dx feeds the conv stack, dsrc/ddst
+        # feed the attention MLP).
+        def loss(xv, srcv, dstv):
+            return jnp.sum(fn(xv, srcv, dstv) ** 2)
 
-        gfn = jax.grad(loss, argnums=(0, 1))
+        gfn = jax.grad(loss, argnums=(0, 1, 2))
 
         def chain(xv):
             def body(c, _):
-                dx, dw = gfn(c, w)
-                return c + 1e-9 * dx + 1e-12 * jnp.sum(dw), None
+                dx, dsrc, ddst = gfn(c, src, dst)
+                return (c + 1e-9 * dx
+                        + 1e-12 * (jnp.sum(dsrc) + jnp.sum(ddst))), None
 
             return jax.lax.scan(body, xv, None, length=iters)[0]
 

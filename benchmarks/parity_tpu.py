@@ -296,6 +296,50 @@ def edge_gat_parity():
     check("dropout grad replay", gd1, gd2, 0.0)
 
 
+def spmm_sigmoid_fused_parity():
+    """Tile-order fused sigmoid aggregate (r3) vs materialized-weight
+    segment path — fwd + grads in x/src/dst, f32 and bf16 tile modes."""
+    print("tile-order fused sigmoid SpMM vs gcn_aggregate_sparse:")
+    from cal_tpu.ops.pallas_spmm import (
+        NODE_BLOCK, TILE_EDGES, build_tiles,
+        gcn_aggregate_sparse_sigmoid_pallas, tile_budget_for)
+
+    v, e, h = 2048, 8192, 128
+    rng = np.random.default_rng(7)
+    senders = rng.integers(0, v, size=e)
+    receivers = np.sort(rng.integers(0, v, size=e))
+    edge_mask = np.arange(e) < int(e * 0.9)
+    x = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    dst = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    s_j, r_j, m_j = (jnp.asarray(senders, jnp.int32),
+                     jnp.asarray(receivers, jnp.int32),
+                     jnp.asarray(edge_mask))
+    budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
+
+    def ref_fn(x, src, dst):
+        w = jax.nn.sigmoid(src[s_j] + dst[r_j])
+        return gcn_aggregate_sparse(x, s_j, r_j, m_j, w)
+
+    for prec, ftol, gtol in (("f32", 1e-4, 1e-2), ("bf16", 2e-2, 5e-2)):
+        tf = build_tiles(senders, receivers, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        tb = build_tiles(receivers, senders, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+
+        def got_fn(x, src, dst):
+            return gcn_aggregate_sparse_sigmoid_pallas(x, src, dst, tf, tb)
+
+        check(f"fwd [{prec}]", jax.jit(got_fn)(x, src, dst),
+              jax.jit(ref_fn)(x, src, dst), ftol)
+        gr = jax.jit(jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                              argnums=(0, 1, 2)))(x, src, dst)
+        gg = jax.jit(jax.grad(lambda *a: jnp.sum(got_fn(*a) ** 2),
+                              argnums=(0, 1, 2)))(x, src, dst)
+        for name, a, b in zip(("dx", "dsrc", "ddst"), gg, gr):
+            check(f"grad {name} [{prec}]", a, b, gtol)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
@@ -303,6 +347,7 @@ def main():
     gcn_dense_parity()
     adj_build_parity()
     spmm_parity()
+    spmm_sigmoid_fused_parity()
     gat_sparse_parity()
     if FAILS:
         raise SystemExit(f"PARITY FAILURES: {FAILS}")

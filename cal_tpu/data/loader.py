@@ -82,9 +82,11 @@ class Loader:
         drop_remainder: bool = False,
         prefetch: int = 2,
         spmm_tiles: bool | str = False,
+        spmm_precision: str = "f32",
     ):
         assert layout in ("dense", "sparse")
         assert spmm_tiles in (True, False, "auto")
+        assert spmm_precision in ("f32", "bf16")
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -94,6 +96,7 @@ class Loader:
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        self.spmm_precision = spmm_precision
         self._packed: PackedDataset | None = None
         if spmm_tiles == "auto":
             # The tiled kernel wins in the large-graph regime (measured
@@ -115,12 +118,14 @@ class Loader:
                 self.budgets["edge_budget"], self.budgets["node_budget"],
                 self._node_block, self._tile_edges)
 
-    def _build_tiles(self, senders: np.ndarray, receivers: np.ndarray):
+    def _build_tiles(self, senders: np.ndarray, receivers: np.ndarray,
+                     edge_mask: np.ndarray | None = None):
         from cal_tpu.ops import pallas_spmm as _ps
 
         nb = self.budgets["node_budget"]
         kw = dict(node_block=self._node_block, tile_edges=self._tile_edges,
-                  tile_budget=self._tile_budget)
+                  tile_budget=self._tile_budget, edge_mask=edge_mask,
+                  precision=self.spmm_precision)
         return (_ps.build_tiles(senders, receivers, nb, **kw),
                 _ps.build_tiles(receivers, senders, nb, **kw))
 
@@ -151,7 +156,7 @@ class Loader:
         if get_lib() is not None:
             (x, s, r, em, nm, ng, y, gm) = self.packed.pack_sparse(
                 idx, bs, nb, eb)
-            tiles = self._build_tiles(s, r) if self.spmm_tiles else None
+            tiles = self._build_tiles(s, r, em) if self.spmm_tiles else None
             return GraphBatch(
                 x=jnp.asarray(x), senders=jnp.asarray(s),
                 receivers=jnp.asarray(r), edge_mask=jnp.asarray(em),
@@ -162,7 +167,8 @@ class Loader:
         batch = batch_graphs(chunk, bs, nb, eb)
         if self.spmm_tiles:
             tiles = self._build_tiles(jax.device_get(batch.senders),
-                                      jax.device_get(batch.receivers))
+                                      jax.device_get(batch.receivers),
+                                      jax.device_get(batch.edge_mask))
             batch = dataclasses.replace(batch, tiles=tiles)
         return batch
 
@@ -193,7 +199,8 @@ class Loader:
 
                 kw = dict(node_block=self._node_block,
                           tile_edges=self._tile_edges,
-                          tile_budget=self._tile_budget, device=False)
+                          tile_budget=self._tile_budget, device=False,
+                          edge_mask=em, precision=self.spmm_precision)
                 tiles = (_ps.build_tiles(s, r, nb, **kw),
                          _ps.build_tiles(r, s, nb, **kw))
             return GraphBatch(x=x, senders=s, receivers=r, edge_mask=em,

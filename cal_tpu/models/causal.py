@@ -151,9 +151,12 @@ class CausalGNN(nn.Module):
                 ),
                 (2,),
             )
+            sparse_tiled = (
+                isinstance(g, GraphBatch) and g.tiles is not None
+                and g.tiles[0].sglb is not None)
             w_c, w_o = edge_attention(
                 x, g, kernel[: self.hidden], kernel[self.hidden :], bias,
-                factored=dense and self.use_pallas,
+                factored=(dense or sparse_tiled) and self.use_pallas,
             )
 
         # --- node attention (model.py:106-111) ---

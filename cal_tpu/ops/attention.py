@@ -53,6 +53,17 @@ def edge_attention(x, g, w_src: jax.Array, w_dst: jax.Array, b: jax.Array,
 
         return partitioned_edge_attention(x, g, w_src, w_dst, b)
     assert isinstance(g, GraphBatch)
+    if factored:
+        # same softmax-2 == sigmoid identity as the dense branch, on [V]
+        # node vectors; the tile-order fused SpMM rebuilds the per-edge
+        # weights from these factors with NO [E]-order array anywhere
+        # (ops/pallas_spmm.py gcn_aggregate_sparse_sigmoid_pallas)
+        from cal_tpu.ops.pallas_gcn import SigmoidEdgeWeight
+
+        src = x @ (w_src[:, 0] - w_src[:, 1]) + (b[0] - b[1])   # [V]
+        dst = x @ (w_dst[:, 0] - w_dst[:, 1])                   # [V]
+        return (SigmoidEdgeWeight(src, dst, negate=False),
+                SigmoidEdgeWeight(src, dst, negate=True))
     logits = (
         jnp.take(x, g.senders, axis=0) @ w_src
         + jnp.take(x, g.receivers, axis=0) @ w_dst

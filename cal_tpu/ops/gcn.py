@@ -124,6 +124,22 @@ def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
 
         return partitioned_gcn_aggregate(x, g, edge_weight)
     assert isinstance(g, GraphBatch)
+    if isinstance(edge_weight, SigmoidEdgeWeight):
+        if g.tiles is not None and g.tiles[0].sglb is not None:
+            from cal_tpu.ops.pallas_spmm import (
+                gcn_aggregate_sparse_sigmoid_pallas)
+
+            tf, tb = g.tiles
+            return gcn_aggregate_sparse_sigmoid_pallas(
+                x, edge_weight.src, edge_weight.dst, tf, tb,
+                edge_weight.negate, node_block=tf.node_block)
+        # no tile plans: materialize the per-edge weights (sparse analog
+        # of SigmoidEdgeWeight.materialize) and fall through
+        w = jax.nn.sigmoid(
+            jnp.take(edge_weight.src, g.senders, axis=0)
+            + jnp.take(edge_weight.dst, g.receivers, axis=0))
+        edge_weight = ((1.0 - w) if edge_weight.negate else w).astype(
+            x.dtype)
     if g.tiles is not None:
         from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_pallas
 

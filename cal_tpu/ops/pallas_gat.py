@@ -11,10 +11,10 @@ v2 redesign (r3), driven by benchmarks/sweep_gat_flash_phases.py:
   * the sender score half arrives PRE-TRANSPOSED as ``tjt`` [B, heads, N]
     so the kernel never transposes an [N, 1] column per head (the v1
     ``tj[:, h:h+1].T`` relayout cost ~30% of the kernel);
-  * softmax max is taken over ALL columns (no mask select): any finite
-    upper bound works for exp stability, and multiplying by ``ceff``
-    (0 for non-edges) zeroes disallowed terms exactly — two VPU passes
-    per head saved, same math (softmax is shift-invariant);
+  * softmax max over allowed cells only (an unmasked max underflows the
+    denominator once score spread exceeds f32 exp range — observed as a
+    mid-training NaN on SYNHIV); the multiplicity factor ``ceff`` still
+    zeroes disallowed numerator terms exactly;
   * ``gb`` graphs per grid step amortize per-program overheads;
   * counts/xh stream in their model dtype (bf16 halves the dominant
     [B, N, N] DMA; counts are small integers, exact in bf16) and are
@@ -59,6 +59,20 @@ def _eye(n):
     return row == col
 
 
+def _mix_seed(s):
+    """Integer hash (xorshift-multiply) before ``prng_seed``: per-graph
+    seeds are CONSECUTIVE integers, and a counter-based PRNG seeded with
+    adjacent values can emit correlated streams — observed r3 as a ~1-pt
+    val-accuracy drop of the in-kernel-dropout path vs the XLA-dropout
+    control on the canonical CausalGAT run.  Mixing decorrelates the
+    per-graph streams; the backward re-derives the identical seed, so
+    replay is unaffected."""
+    s = s * jnp.int32(-1640531527)            # 2654435769 as int32 (Knuth)
+    s = s ^ (s >> 15)
+    s = s * jnp.int32(-2048144789)            # murmur3 fmix constant
+    return s ^ (s >> 13)
+
+
 def _dropout_keep(shape, rate):
     """Keep-mask from the already-seeded kernel PRNG (uint32 threshold).
 
@@ -82,7 +96,7 @@ def _fwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref,
         counts = counts_ref[b].astype(jnp.float32)
         ceff = jnp.where(eye, 1.0, counts)      # self loop multiplicity 1
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+            pltpu.prng_seed(_mix_seed(seed_ref[0, 0] + p * gb + b))
         allowed = ceff > 0
         ti = ti_ref[b].astype(jnp.float32)      # [N, heads]
         tjt = tjt_ref[b].astype(jnp.float32)    # [heads, N]
@@ -117,7 +131,7 @@ def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
         counts = counts_ref[b].astype(jnp.float32)
         ceff = jnp.where(eye, 1.0, counts)
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + p * gb + b)
+            pltpu.prng_seed(_mix_seed(seed_ref[0, 0] + p * gb + b))
         allowed = ceff > 0
         ti = ti_ref[b].astype(jnp.float32)
         tjt = tjt_ref[b].astype(jnp.float32)

@@ -53,6 +53,20 @@ def _leaky(x):
     return jnp.where(x >= 0, x, NEG_SLOPE * x)
 
 
+def _mix_seed(s):
+    """Integer hash (xorshift-multiply) before ``prng_seed``: per-graph
+    seeds are CONSECUTIVE integers, and a counter-based PRNG seeded with
+    adjacent values can emit correlated streams — observed r3 as a ~1-pt
+    val-accuracy drop of the in-kernel-dropout path vs the XLA-dropout
+    control on the canonical CausalGAT run.  Mixing decorrelates the
+    per-graph streams; the backward re-derives the identical seed, so
+    replay is unaffected."""
+    s = s * jnp.int32(-1640531527)            # 2654435769 as int32 (Knuth)
+    s = s ^ (s >> 15)
+    s = s * jnp.int32(-2048144789)            # murmur3 fmix constant
+    return s ^ (s >> 13)
+
+
 def _dropout_keep(shape, rate):
     bits = pltpu.prng_random_bits(shape)
     bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
@@ -204,7 +218,7 @@ def _fwd_kernel(starts_ref, seed_ref, ef_ref, tit_ref, tjt_ref, xh_ref,
         alpha_t, alpha_self_t, _ = _alpha_core(
             oh_r, oh_s, tit_ref[b], tjt_ref[b], n, heads, prec)
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + g)
+            pltpu.prng_seed(_mix_seed(seed_ref[0, 0] + g))
             keep_e = _dropout_keep(alpha_t.shape, dropout)
             keep_s = _dropout_keep(alpha_self_t.shape, dropout)
             alpha_t = jnp.where(keep_e, alpha_t / (1.0 - dropout), 0.0)
@@ -233,7 +247,7 @@ def _bwd_kernel(starts_ref, seed_ref, ef_ref, tit_ref, tjt_ref, xh_ref,
             oh_r, oh_s, tit_ref[b], tjt_ref[b], n, heads, prec)
         pre_t, valid_row, self_pre_t, _inv_den = aux
         if dropout > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + g)        # fwd's bit stream
+            pltpu.prng_seed(_mix_seed(seed_ref[0, 0] + g))        # fwd's bit stream
             keep_e = _dropout_keep(alpha_t.shape, dropout)
             keep_s = _dropout_keep(alpha_self_t.shape, dropout)
             scale_e = jnp.where(keep_e, 1.0 / (1.0 - dropout), 0.0)

@@ -87,6 +87,14 @@ class SpmmTiles:
         metadata=dict(static=True), default=NODE_BLOCK)
     precision: str = dataclasses.field(
         metadata=dict(static=True), default="f32")
+    # optional tile-order GLOBAL endpoint columns (r3): sglb/rglb [n_tiles,T]
+    # hold the global sender/receiver id of each slot (padding -> V).  They
+    # let the per-edge coefficient chain run directly in tile-slot order, so
+    # the fused sigmoid-weighted aggregate never pays the [E]-order
+    # coef-permutation gather or the dcoef scatter (measured 1.9 + 2.3 ms
+    # of XLA scalar gather/scatter at the V=8192/E=131k bench shape).
+    sglb: jax.Array | None = None
+    rglb: jax.Array | None = None
 
 
 def build_tiles(
@@ -98,14 +106,21 @@ def build_tiles(
     tile_budget: int | None = None,
     precision: str = "f32",
     device: bool = True,
+    edge_mask=None,
 ) -> SpmmTiles:
     """Host-side (numpy) tile packing.  Structure-only: weights/masks enter
     per-step through ``coef`` so one plan serves every step on a batch.
     ``device=False`` keeps the plan as NumPy (for host-stacked epoch batches
-    that are shipped with one transfer per leaf)."""
+    that are shipped with one transfer per leaf).  ``edge_mask`` (optional
+    [E] bool) marks dead/padding edges: their slots keep zero-contributing
+    local indices but get the sentinel global id, so the tile-order
+    coefficient chain (gcn_aggregate_sparse_sigmoid_pallas) zeroes them
+    without ever consulting an [E]-order mask."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     E = senders.shape[0]
+    mask = (np.ones(E, bool) if edge_mask is None
+            else np.asarray(edge_mask, bool))
     assert num_nodes % node_block == 0, (num_nodes, node_block)
     nb = num_nodes // node_block
 
@@ -126,18 +141,25 @@ def build_tiles(
             per_i[i].append((j, edges[c:c + tile_edges]))
 
     iblk, jblk, first, sloc, rloc, perm = [], [], [], [], [], []
+    sglb, rglb = [], []
 
     def emit(i, j, edges, is_first):
         k = len(edges)
         s = np.zeros(tile_edges, np.int32)
         r = np.zeros(tile_edges, np.int32)
+        sg = np.full(tile_edges, num_nodes, np.int32)
+        rg = np.full(tile_edges, num_nodes, np.int32)
         p = np.full(tile_edges, E, np.int32)
         if k:
+            live = mask[edges]
             s[:k] = senders[edges] - j * node_block
             r[:k] = receivers[edges] - i * node_block
+            sg[:k] = np.where(live, senders[edges], num_nodes)
+            rg[:k] = np.where(live, receivers[edges], num_nodes)
             p[:k] = edges
         iblk.append(i); jblk.append(j); first.append(int(is_first))
         sloc.append(s); rloc.append(r); perm.append(p)
+        sglb.append(sg); rglb.append(rg)
 
     for i in range(nb):
         tiles_i = per_i[i] or [(0, np.empty(0, np.int64))]
@@ -162,6 +184,8 @@ def build_tiles(
         perm=conv(np.stack(perm)),
         node_block=node_block,
         precision=precision,
+        sglb=conv(np.stack(sglb)),
+        rglb=conv(np.stack(rglb)),
     )
 
 
@@ -534,3 +558,235 @@ def gcn_aggregate_sparse_pallas(
     out = coo_spmm(x.astype(jnp.float32), coef_ext, tiles_fwd, tiles_bwd,
                    node_block)
     return (out + x.astype(jnp.float32) / deg[:, None]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tile-order fused sigmoid-weighted aggregate (r3).
+#
+# The generic ``coo_spmm`` contract takes per-edge coefficients in EDGE
+# order, which costs an XLA scalar gather (coef -> tile slots, 1.9 ms at the
+# V=8192/E=131k bench shape) in the forward and a scalar scatter (tile-order
+# dcoef -> edge order, 2.3 ms) in the backward — together they made the
+# tiled kernel LOSE to XLA segment ops on the training-relevant fwd+bwd
+# basis.  The causal models' edge weights are factored node sigmoids
+# (w_e = sigma(src[s] + dst[r]), ops/pallas_gcn.py SigmoidEdgeWeight), so
+# the whole coefficient chain can run directly in TILE-SLOT order from the
+# plans' global endpoint columns (sglb/rglb) — no [E]-order array ever
+# exists, and d(src)/d(dst) flow through plain segment-sum transposes.
+# ---------------------------------------------------------------------------
+
+
+def _live_f32(tiles, num_nodes):
+    return ((tiles.sglb != tiles.rglb)
+            & (tiles.sglb < num_nodes)).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def gcn_aggregate_sparse_sigmoid_pallas(x, src, dst, tiles_fwd, tiles_bwd,
+                                        negate=False,
+                                        node_block=NODE_BLOCK):
+    """Sigmoid-edge-weighted GCN aggregate (reference gcn_conv.py:44-70
+    norm with w_e = sigma(src[s]+dst[r]), or 1-sigma when ``negate``) with
+    the WHOLE per-edge chain in tile-slot order — the sparse-layout analog
+    of ops/pallas_gcn.py ``fused_gcn_dense_att``.
+
+    Every [slots]-per-edge gather/scatter runs through the tile-plan MXU
+    kernels (tile_gather2 / tile_scatter2): profiling showed each XLA
+    scalar gather/scatter of the slot arrays costing 1.4-1.7 ms at bench
+    shapes — they, not the SpMM itself, made the tiled fwd+bwd lose to
+    segment ops.  Hand-written VJP (exact; derivation in ``_sig_bwd``).
+    Differentiable in x, src, dst."""
+    out, _ = _sig_fwd(x, src, dst, tiles_fwd, tiles_bwd, negate, node_block)
+    return out
+
+
+def _sig_fwd(x, src, dst, tiles_fwd, tiles_bwd, negate, node_block):
+    num_nodes = x.shape[0]
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    row = lambda v: v.astype(f32)[None, :]                 # [1, V] row-plane
+    slot = lambda v: v[:, None, :]                         # [n, T]->[n,1,T]
+    g1 = tile_gather2(row(src), row(dst), tiles_fwd, node_block)
+    live = _live_f32(tiles_fwd, num_nodes)                 # [n_tiles, T]
+    sig = jax.nn.sigmoid(g1[:, 0, :] + g1[:, 1, :])
+    w = ((1.0 - sig) if negate else sig) * live
+    degA, _ = tile_scatter2(slot(w), slot(jnp.zeros_like(w)),
+                            tiles_fwd, num_nodes, node_block)
+    deg = degA[0] + 1.0                                    # [V]
+    dis = jax.lax.rsqrt(deg)
+    g2 = tile_gather2(dis[None, :], dis[None, :], tiles_fwd, node_block)
+    dis_s, dis_r = g2[:, 0, :], g2[:, 1, :]
+    coef_f = dis_s * w * dis_r
+    out = _spmm_call(x32, coef_f, tiles_fwd, node_block)
+    out = out + x32 / deg[:, None]
+    res = (x32, src, dst, w, dis_s, dis_r, deg, dis)
+    return out.astype(x.dtype), res
+
+
+def _sig_bwd(tiles_fwd, tiles_bwd, negate, node_block, res, gout):
+    x32, src, dst, w, dis_s, dis_r, deg, dis = res
+    num_nodes = x32.shape[0]
+    f32 = jnp.float32
+    g32 = gout.astype(f32)
+    row = lambda v: v.astype(f32)[None, :]
+    slot = lambda v: v[:, None, :]
+    invdeg = 1.0 / deg
+    # self term x/deg
+    dx = g32 * invdeg[:, None]
+    ddeg = -jnp.sum(g32 * x32, axis=1) * invdeg * invdeg
+    # dx through the message sum: transposed-plan SpMM with the SAME
+    # coefficients rebuilt in tiles_bwd slot order (tb was built with
+    # swapped endpoint args, so its gathers come back (dst[r], src[s]))
+    h1 = tile_gather2(row(dst), row(src), tiles_bwd, node_block)
+    live_b = _live_f32(tiles_bwd, num_nodes)
+    sig_b = jax.nn.sigmoid(h1[:, 0, :] + h1[:, 1, :])
+    w_b = ((1.0 - sig_b) if negate else sig_b) * live_b
+    h2 = tile_gather2(dis[None, :], dis[None, :], tiles_bwd, node_block)
+    coef_b = h2[:, 0, :] * w_b * h2[:, 1, :]
+    dx = dx + _spmm_call(g32, coef_b, tiles_bwd, node_block)
+    # chain backward:
+    #   coef = dis_s * w * dis_r;  deg = 1 + sum_sender w;  dis = deg^-1/2
+    dcoef = _sddmm_call(x32, g32, tiles_fwd, node_block)   # [n_tiles, T]
+    ddisA, ddisB = tile_scatter2(slot(dcoef * w * dis_r),
+                                 slot(dcoef * w * dis_s),
+                                 tiles_fwd, num_nodes, node_block)
+    ddis = ddisA[0] + ddisB[0]
+    ddeg = ddeg + ddis * (-0.5) * dis * invdeg             # d(deg^-1/2)
+    gd = tile_gather2(ddeg[None, :], jnp.zeros((1, num_nodes), f32),
+                      tiles_fwd, node_block)[:, 0, :]      # ddeg[sender]
+    dwv = dcoef * dis_s * dis_r + gd
+    # sigma' = sigma(1-sigma) = w(1-w) in BOTH modes (w = 1-sigma when
+    # negate); dead slots have w = 0, zeroing the gather garbage in gd
+    dpre = dwv * (w * (1.0 - w))
+    if negate:
+        dpre = -dpre
+    dsrcP, ddstP = tile_scatter2(slot(dpre), slot(dpre),
+                                 tiles_fwd, num_nodes, node_block)
+    return (dx.astype(x32.dtype), dsrcP[0].astype(src.dtype),
+            ddstP[0].astype(dst.dtype))
+
+
+gcn_aggregate_sparse_sigmoid_pallas.defvjp(_sig_fwd, _sig_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Tile-plan scalar gather/scatter kernels (r3).
+#
+# Profiling the tile-order sigmoid chain showed EVERY [V]-indexed XLA
+# gather/scatter of the [n_tiles*T] slot arrays costing 1.4-1.7 ms at the
+# bench shape (11 of them in fwd+bwd = ~18 ms — they, not the SpMM, are why
+# the tiled aggregate lost to XLA segment ops on the fwd+bwd basis).  These
+# kernels move those scalar ops onto the MXU with the same in-register
+# one-hots the SpMM uses: a gather pass fetches per-slot values from BOTH
+# endpoint planes at once; a scatter pass accumulates per-slot values into
+# both [V, K] planes, kept VMEM-resident across the whole grid (32 KB).
+# ---------------------------------------------------------------------------
+
+
+def _tile_gather2_kernel(iarr, jarr, sloc_ref, rloc_ref, a_ref, b_ref,
+                         out_ref, *, ka, kb, mm_dtype):
+    del iarr, jarr
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], a_ref.shape[1], mm_dtype)   # [T, NB]
+    oh_r = _onehot(rloc_ref[0, 0], b_ref.shape[1], mm_dtype)
+    # row-plane form: ga[k, t] = a[k, sloc[t]] via a_row @ oh^T (all arrays
+    # keep T/V on the LANE dim — no single-lane layouts anywhere)
+    ga = jax.lax.dot_general(
+        a_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [Ka, T]
+    gb = jax.lax.dot_general(
+        b_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [Kb, T]
+    out_ref[0] = jnp.concatenate([ga, gb], axis=0)
+
+
+def tile_gather2(a, b, tiles: SpmmTiles, node_block: int = NODE_BLOCK):
+    """Per-slot gather from a sender-indexed row-plane ``a`` [Ka, V] AND a
+    receiver-indexed row-plane ``b`` [Kb, V] -> [n_tiles, Ka+Kb, T] f32.
+    Dead slots fetch garbage rows — mask with the slot liveness
+    (tiles.sglb < V) downstream."""
+    n_tiles, T = tiles.sloc.shape
+    ka, kb = a.shape[0], b.shape[0]
+    lift = lambda arr: arr.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((ka, node_block), lambda t, i, j: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, node_block), lambda t, i, j: (0, i[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ka + kb, T), lambda t, i, j: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    return pl.pallas_call(
+        functools.partial(_tile_gather2_kernel, ka=ka, kb=kb,
+                          mm_dtype=mm_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, ka + kb, T), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
+      a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def _tile_scatter2_kernel(iarr, jarr, sloc_ref, rloc_ref, va_ref, vb_ref,
+                          outa_ref, outb_ref, *, node_block, mm_dtype):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        outa_ref[:] = jnp.zeros_like(outa_ref)
+        outb_ref[:] = jnp.zeros_like(outb_ref)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)   # [T, NB]
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    # ua[k, nb] = sum_t va[k, t] * oh_s[t, nb]
+    ua = jnp.dot(va_ref[0].astype(mm_dtype), oh_s,
+                 preferred_element_type=jnp.float32, precision=prec)
+    ub = jnp.dot(vb_ref[0].astype(mm_dtype), oh_r,
+                 preferred_element_type=jnp.float32, precision=prec)
+    ja = jarr[t] * node_block
+    ia = iarr[t] * node_block
+    outa_ref[:, pl.ds(ja, node_block)] += ua
+    outb_ref[:, pl.ds(ia, node_block)] += ub
+
+
+def tile_scatter2(vals_a, vals_b, tiles: SpmmTiles, num_nodes: int,
+                  node_block: int = NODE_BLOCK):
+    """Accumulate per-slot values into a sender-indexed row-plane (vals_a
+    [n_tiles, Ka, T] -> [Ka, V]) and a receiver-indexed row-plane (vals_b
+    -> [Kb, V]) in one pass.  Both output planes stay VMEM-resident across
+    the grid (constant out index, 32 KB at V=8192).  Dead slots MUST carry
+    zeros."""
+    n_tiles, T = tiles.sloc.shape
+    ka, kb = vals_a.shape[1], vals_b.shape[1]
+    lift = lambda arr: arr.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vspec = lambda k: pl.BlockSpec((1, k, T), lambda t, i, j: (t, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    full = lambda k: pl.BlockSpec((k, num_nodes), lambda t, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[vec_spec, vec_spec, vspec(ka), vspec(kb)],
+        out_specs=[full(ka), full(kb)],
+    )
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    return pl.pallas_call(
+        functools.partial(_tile_scatter2_kernel, node_block=node_block,
+                          mm_dtype=mm_dtype),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ka, num_nodes), jnp.float32),
+                   jax.ShapeDtypeStruct((kb, num_nodes), jnp.float32)],
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
+      vals_a.astype(jnp.float32), vals_b.astype(jnp.float32))

@@ -23,6 +23,15 @@ the ``dp`` axis:
 Both assume every shard's real graphs form a contiguous prefix and shards
 are fully real except possibly the last — guaranteed by the dp loader
 sharding of full batches (padded tail lives on the last shard).
+
+STATUS (r3): library primitives, deliberately unwired from the trainers.
+Production dp training relies on GSPMD of the global argsort
+(models/causal.py::intervention_permutation): the shuffled payload is the
+pooled readout — [G, hidden] ~ 64 KB/step at canonical sizes, under a
+microsecond of ICI either way — so the bandwidth-optimal variant has no
+measurable payoff regime at CAL scale (it would matter only for readouts
+orders of magnitude wider).  Kept as tested building blocks
+(tests/test_parallel.py) for workloads where that regime exists.
 """
 from __future__ import annotations
 

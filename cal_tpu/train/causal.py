@@ -148,9 +148,11 @@ def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
         return mesh, loaders
     budgets = compute_budgets(budget_graphs, cfg.batch_size, cfg.layout)
     tiles = "auto" if cfg.use_pallas else False
+    prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
     loaders = [
         Loader(s, cfg.batch_size, shuffle=(i == 0 and shuffle_first), layout=cfg.layout,
-               budgets=budgets, seed=seeds[i], spmm_tiles=tiles)
+               budgets=budgets, seed=seeds[i], spmm_tiles=tiles,
+               spmm_precision=prec)
         for i, s in enumerate(sets)
     ]
     return None, loaders
@@ -394,21 +396,16 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     """
     from cal_tpu.data.kfold import k_fold
 
-    if (cfg.use_pallas and cfg.dtype == "bfloat16"
-            and cfg.model in ("CausalGCN", "CausalGIN")
-            and jax.default_backend() == "tpu"):
-        # Backend workaround (measured on the tunneled v5e backend): the
-        # fold-vmapped program stalls in compilation (>15 min, vs ~3 min
-        # normally) when it combines the fused dual masked-conv Pallas
-        # kernel with a bf16 XLA-visible backbone.  Every neighboring
-        # config compiles fine: f32 + kernel, bf16 + XLA-only, and
-        # CausalGAT bf16 (whose backbone is itself a Pallas custom call).
-        # Dropping the fused kernels costs ~4% step time (bench.py: 38.3M
-        # -> 36.7M edges/s) — strictly better than not compiling.
-        if verbose:
-            print("fold_parallel: fused Pallas kernels disabled for "
-                  f"{cfg.model} bf16 (vmapped-compile stall workaround)")
-        cfg = cfg.replace(use_pallas=False)
+    # r2 carried a workaround here disabling the fused Pallas kernels for
+    # fold-parallel bf16 CausalGCN/GIN (the vmapped program stalled >15 min
+    # in backend compilation).  r3 could NOT reproduce the stall — neither
+    # in the bisection harness (benchmarks/repro_bf16_vmap_stall.py: every
+    # {vmap, bf16, dual-kernel} combination compiles, with high variance
+    # 3-175 s that points at the remote-compile service, not the program)
+    # nor in the real config (SYNMINI fold-parallel bf16 + fused kernels
+    # compiles and trains) — likely fixed by the r3 kernel restructuring
+    # (the XLA adjacency scatter is gone; flash-GAT v2).  Workaround
+    # removed; if a stall recurs, run the bisection harness first.
 
     graphs = list(dataset)
     labels = np.array([g.y for g in graphs])

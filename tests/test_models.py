@@ -139,3 +139,29 @@ def test_bf16_mixed_precision_close_to_f32(name, graphs):
         assert np.asarray(b).dtype == np.float32  # log-probs stay f32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.1, atol=0.1)
+
+
+def test_sparse_tiled_factored_matches_plain(graphs):
+    """CausalGCN on the sparse layout with block-COO tiles + factored
+    sigmoid weights (the r3 tile-order fused masked conv,
+    ops/pallas_spmm.py gcn_aggregate_sparse_sigmoid_pallas) must match the
+    no-tiles segment path."""
+    cfg = Config(model="CausalGCN", hidden=16, layers=2)
+    model = get_model(cfg, 0, 3)
+    budgets = compute_budgets(graphs, 8, "sparse")
+    outs = []
+    for tiles in (False, True):
+        loader = Loader(graphs, 8, layout="sparse", budgets=dict(budgets),
+                        spmm_tiles=tiles)
+        g = next(iter(loader))
+        if tiles:
+            assert g.tiles is not None and g.tiles[0].sglb is not None
+        rngs = {"params": jax.random.PRNGKey(0),
+                "intervention": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        variables = model.init(rngs, g, train=False, eval_random=False)
+        outs.append(model.apply(variables, g, train=False,
+                                eval_random=False))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)

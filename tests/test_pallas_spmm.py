@@ -312,3 +312,42 @@ def test_gat_sparse_pallas_dropout_matches_xla(rng):
                                       att_dst, att_src, tf, tb, 0.3, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sigmoid_fused_matches_materialized(rng):
+    """Tile-order fused sigmoid aggregate (r3) vs gcn_aggregate_sparse with
+    the weights materialized per edge — fwd + grads in x, src, dst."""
+    from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_sigmoid_pallas
+
+    x, senders, receivers, edge_mask, _ = _workload(rng)
+    V = x.shape[0]
+    src = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+
+    for negate in (False, True):
+        def ref_fn(x, src, dst):
+            w = jax.nn.sigmoid(src[senders] + dst[receivers])
+            w = (1.0 - w) if negate else w
+            return gcn_aggregate_sparse(x, senders, receivers, edge_mask, w)
+
+        def got_fn(x, src, dst):
+            return gcn_aggregate_sparse_sigmoid_pallas(
+                x, src, dst, tf, tb, negate, node_block=NB)
+
+        ref = ref_fn(x, src, dst)
+        got = got_fn(x, src, dst)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                      argnums=(0, 1, 2))(x, src, dst)
+        gg = jax.grad(lambda *a: jnp.sum(got_fn(*a) ** 2),
+                      argnums=(0, 1, 2))(x, src, dst)
+        for a, b in zip(gg, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=5e-5)
