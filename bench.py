@@ -256,14 +256,18 @@ def main():
     lines.append(line)
 
     r = bench_causal_train("CausalGAT", cfg, batches, edges_per_batch, 200)
+    gat_baseline = None
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            gat_baseline = json.load(f).get("gat_train_edges_per_s")
     line = {
         "metric": "causal_gat_train_edges_per_s",
         "value": round(r["edges_per_s"], 1),
         "unit": "edges/s",
-        # same torch-CPU denominator as the headline (the baseline workload
-        # is the CausalGCN twin; no GAT-specific torch baseline exists)
-        "vs_baseline": round(r["edges_per_s"] / baseline, 2) if baseline
-        else 1.0,
+        # GAT-specific torch-CPU denominator (benchmarks/torch_baseline.py
+        # CausalGAT twin)
+        "vs_baseline": round(r["edges_per_s"] / gat_baseline, 2)
+        if gat_baseline else 1.0,
     }
     if "pct_hbm_roofline" in r:
         line["pct_hbm_roofline"] = r["pct_hbm_roofline"]

@@ -1,12 +1,23 @@
-"""Phase isolation for the flash-GAT fwd kernel: where does the time go?
+"""Phase isolation for the flash-GAT fwd kernel + backend timing probes.
 
-The r2 anatomy showed flash fwd+bwd 2.71 ms vs XLA 2.32 ms (no dropout) —
-the kernel LOSES on pure math despite doing ~10x less HBM traffic, so it is
-compute/relayout-bound.  Speed-of-light fwd at bench shapes is ~0.2 ms
-(rank-1 scores: ~190M VPU ops; 2 GFLOP of [N,N]@[N,d] matmul; ~65 MB HBM).
-This sweep times stripped kernel variants to attribute the gap.
+This sweep drove the r3 flash-GAT v2 redesign.  Findings it produced:
+  * the tunneled backend has a ~26 ms FIXED dispatch+fetch round trip —
+    every chained-scan microbench at k iterations reads +26/k ms per iter
+    (xla_bw_probe + the varying-iteration probes; now a CLAUDE.md rule);
+  * real achievable HBM bandwidth is ~500-600 GB/s (large-array probes);
+  * the per-head ``tj[:, h:h+1].T`` transpose relayout cost ~30% of the
+    kernel (score_pret vs score_only) -> v2 passes tjt pre-transposed;
+  * N=248 (non-128-multiple lanes) tripled the block-DMA floor vs N=256
+    -> the loader now lane-aligns dense node budgets;
+  * gb graphs per grid step shave per-program overhead (gb8 variant).
+
+Phase variants time stripped copies of the kernel (noop = DMA floor only,
+mask/score/softmax/matmul = cumulative math stages, *_pret = transposed
+sender operand, gbK = K graphs per block).
 
 Usage: python -m benchmarks.sweep_gat_flash_phases
+NOTE: per-iteration numbers below ~1 ms still carry the +26/iters RTT
+bias (iters=50); compare variants, not absolutes.
 """
 import functools
 import time
@@ -180,12 +191,11 @@ def main():
     adj = jnp.asarray(adj)
 
     xla_bw_probe()
-    for phase in ("noop", "gb8"):
-        for cdt in (jnp.float32, jnp.bfloat16, jnp.int8):
-            adj_c = adj.astype(cdt)
-            t = timeit(lambda x, p=phase, a=adj_c: _call(p, ti, tj, a, x), xh)
-            print(f"{phase:>10}/{cdt.__name__:>8}: fwd {t:7.3f} ms",
-                  flush=True)
+    for phase in ("noop", "mask_only", "score_only", "score_pret",
+                  "softmax_only", "softmax_pret", "matmul", "full",
+                  "full_pret", "gb2", "gb4", "gb8"):
+        t = timeit(lambda x, p=phase: _call(p, ti, tj, adj, x), xh)
+        print(f"{phase:>14}: fwd {t:7.3f} ms", flush=True)
 
 
 def xla_bw_probe():

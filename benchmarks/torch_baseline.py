@@ -59,6 +59,41 @@ class GCNConv(nn.Module):
         return out + x / deg.unsqueeze(1)
 
 
+class GATConv(nn.Module):
+    """PyG-1.1.0 GATConv semantics (reference model.py:340): shared weight,
+    per-edge LeakyReLU score, segment softmax over incoming edges with the
+    analytic self loop, multi-head concat."""
+
+    def __init__(self, fin, out_per_head, heads=4):
+        super().__init__()
+        self.h, self.d = heads, out_per_head
+        self.lin = nn.Linear(fin, heads * out_per_head)
+        self.att = nn.Parameter(torch.empty(heads, 2 * out_per_head))
+        nn.init.xavier_uniform_(self.att)
+
+    def forward(self, x, senders, receivers):
+        v = x.shape[0]
+        xh = self.lin(x).view(v, self.h, self.d)
+        ti = (xh * self.att[:, : self.d]).sum(-1)       # [V, H] receiver half
+        tj = (xh * self.att[:, self.d:]).sum(-1)        # [V, H] sender half
+        live = senders != receivers
+        s_e = F.leaky_relu(ti[receivers] + tj[senders], 0.2)
+        s_e = torch.where(live.unsqueeze(1), s_e, torch.full((), -1e30))
+        m = torch.full((v, self.h), -1e30).index_reduce_(
+            0, receivers, s_e, "amax")
+        self_s = F.leaky_relu(ti + tj, 0.2)
+        m = torch.maximum(m, self_s)
+        num_e = torch.where(live.unsqueeze(1),
+                            torch.exp(s_e - m[receivers]), torch.zeros(()))
+        num_self = torch.exp(self_s - m)
+        den = scatter_add(num_e, receivers, v) + num_self
+        alpha = num_e / den[receivers]
+        msg = alpha.unsqueeze(-1) * xh[senders]
+        out = scatter_add(msg, receivers, v) + (
+            (num_self / den).unsqueeze(-1) * xh)
+        return out.reshape(v, self.h * self.d)
+
+
 class Readout(nn.Module):
     def __init__(self, h, c):
         super().__init__()
@@ -71,12 +106,17 @@ class Readout(nn.Module):
 
 
 class CausalGCN(nn.Module):
-    def __init__(self, fin, h, c, layers=3):
+    def __init__(self, fin, h, c, layers=3, backbone="gcn"):
         super().__init__()
         self.bn_feat = nn.BatchNorm1d(fin)
         self.conv_feat = nn.Linear(fin, h)
         self.bns = nn.ModuleList(nn.BatchNorm1d(h) for _ in range(layers))
-        self.convs = nn.ModuleList(GCNConv(h, h) for _ in range(layers))
+        if backbone == "gat":
+            self.convs = nn.ModuleList(
+                GATConv(h, h // 4, 4) for _ in range(layers))
+        else:
+            self.convs = nn.ModuleList(GCNConv(h, h) for _ in range(layers))
+        self.backbone = backbone
         self.edge_att = nn.Linear(2 * h, 2)
         self.node_att = nn.Linear(h, 2)
         self.bnc, self.bno = nn.BatchNorm1d(h), nn.BatchNorm1d(h)
@@ -88,6 +128,7 @@ class CausalGCN(nn.Module):
         x = F.relu(self.conv_feat(self.bn_feat(x)))
         for bn, conv in zip(self.bns, self.convs):
             x = F.relu(conv(bn(x), senders, receivers))
+        # (attention dropout omitted: inference-free CPU floor favors torch)
         e = self.edge_att(torch.cat([x[senders], x[receivers]], dim=-1))
         ea = F.softmax(e, dim=-1)
         na = F.softmax(self.node_att(x), dim=-1)
@@ -133,8 +174,11 @@ def main():
 
     model = CausalGCN(cfg.max_degree, cfg.hidden, cfg.num_classes, cfg.layers)
     opt = torch.optim.Adam(model.parameters(), lr=cfg.lr)
+    gat_model = CausalGCN(cfg.max_degree, cfg.hidden, cfg.num_classes,
+                          cfg.layers, backbone="gat")
+    gat_opt = torch.optim.Adam(gat_model.parameters(), lr=cfg.lr)
 
-    def step(batch):
+    def step(batch, model=model, opt=opt):
         x, s, r, gid, y, ng = batch
         opt.zero_grad()
         c_logs, o_logs, co_logs = model(x, s, r, gid, ng)
@@ -155,12 +199,24 @@ def main():
             n_steps += 1
     dt = time.perf_counter() - t0
     edges_per_s = n_steps / dt * edges_per_batch
+
+    for b in batches[:2]:
+        step(b, gat_model, gat_opt)
+    n_steps_g, t0 = 0, time.perf_counter()
+    while n_steps_g < 15:
+        for b in batches:
+            step(b, gat_model, gat_opt)
+            n_steps_g += 1
+    dt_g = time.perf_counter() - t0
+    gat_edges_per_s = n_steps_g / dt_g * edges_per_batch
+
     out = {
         "train_edges_per_s": round(edges_per_s, 1),
+        "gat_train_edges_per_s": round(gat_edges_per_s, 1),
         "steps_per_s": round(n_steps / dt, 3),
         "edges_per_batch": edges_per_batch,
         "hardware": "host CPU (torch {})".format(torch.__version__),
-        "workload": "CausalGCN h128 L3 batch128 synthetic (bench.py twin)",
+        "workload": "CausalGCN/GAT h128 L3 batch128 synthetic (bench.py twin)",
     }
     with open(os.path.join(_HERE, "baseline_perf.json"), "w") as f:
         json.dump(out, f, indent=1)
