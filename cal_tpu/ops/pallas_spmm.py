@@ -72,9 +72,10 @@ class SpmmTiles:
       perm:  [n_tiles, T] int32  edge id of each slot; padding slots = E
                               (index of the appended zero in coef_ext).
       node_block: static — the node-block size this plan was built for.
-      precision: static — "f32" (exact) or "bf16" (one-hots are exact in
-                 bf16; x/msg rounding gives ~1e-3 rel error at ~2x the MXU
-                 rate — the kernel is MXU-bound).
+      precision: static — "f32" (exact, HIGHEST-precision matmuls) or
+                 "bf16" (one-hots are exact in bf16; value rounding gives
+                 ~1e-3 rel error at 2.8x the measured kernel rate — the
+                 production mixed-precision choice).
     """
 
     iblk: jax.Array
@@ -209,8 +210,10 @@ def _mm_precision(mm_dtype):
     """f32 mode must be exact: Mosaic's DEFAULT dot precision rounds f32
     operands to bf16 on the MXU (1 pass, ~1e-3 rel error — measured on HW;
     interpret mode computes true f32 and hides it).  HIGHEST multi-pass
-    splitting restores exact f32; the kernel is not MXU-bound (bf16 mode
-    measured no faster), so the extra passes are ~free."""
+    splitting restores exact f32 at ~3x the MXU passes — r3 remeasured
+    (clean differenced timing) bf16 tiles 2.8x faster than f32-HIGHEST at
+    bench shapes, so production bf16 training uses bf16 tile precision
+    (loader spmm_precision) and f32 mode is the exact-parity path."""
     return (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 

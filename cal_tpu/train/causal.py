@@ -566,6 +566,16 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
 
     if cfg.fold_parallel:
         if cfg.mesh_edge > 1:
+            # Deliberate non-composition, not a TODO: fold-parallelism
+            # exists to FILL an underutilized chip with many small-dataset
+            # folds (BASELINE.md: a single SYNNCI fold already saturates
+            # one chip, so fold-vmap pays off only when folds shard over
+            # spare devices), while edge partitioning exists for batches
+            # too big for one chip.  The regimes are mutually exclusive:
+            # a workload that needs edge shards has no spare capacity for
+            # stacked folds (k x the epoch footprint, see the HBM guard in
+            # train_causal_real_folds), and one that fits k folds per
+            # device gains nothing from splitting its edges.
             raise NotImplementedError(
                 "fold_parallel composes with --mesh_dp (fold axis over the "
                 "mesh) but not with edge partitioning; set --mesh_edge 1")

@@ -351,3 +351,40 @@ def test_sigmoid_fused_matches_materialized(rng):
         for a, b in zip(gg, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=5e-5)
+
+
+def test_tile_gather_scatter_roundtrip(rng):
+    """Unit coverage for the tile-plan scalar-plane kernels (r3):
+    tile_gather2 fetches per-slot values from both endpoint row-planes;
+    tile_scatter2 accumulates per-slot values back into both planes —
+    together they must reproduce plain take / scatter-add semantics."""
+    from cal_tpu.ops.pallas_spmm import tile_gather2, tile_scatter2
+
+    x, senders, receivers, edge_mask, _ = _workload(rng)
+    V = x.shape[0]
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    a = jnp.asarray(rng.standard_normal((1, V)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, V)).astype(np.float32))
+    g = tile_gather2(a, b, tf, node_block=NB)          # [n, 2, T]
+    live = np.asarray(tf.sglb) < V
+    want_a = np.asarray(a)[0][np.minimum(np.asarray(tf.sglb), V - 1)]
+    want_b = np.asarray(b)[0][np.minimum(np.asarray(tf.rglb), V - 1)]
+    np.testing.assert_allclose(np.asarray(g[:, 0, :])[live], want_a[live],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[:, 1, :])[live], want_b[live],
+                               rtol=1e-6)
+    vals = jnp.asarray(
+        (rng.standard_normal(tf.sloc.shape) * live).astype(np.float32))
+    outa, outb = tile_scatter2(vals[:, None, :], (2.0 * vals)[:, None, :],
+                               tf, V, node_block=NB)
+    want_sa = np.zeros(V, np.float32)
+    np.add.at(want_sa, np.asarray(tf.sglb)[live], np.asarray(vals)[live])
+    want_sb = np.zeros(V, np.float32)
+    np.add.at(want_sb, np.asarray(tf.rglb)[live],
+              2.0 * np.asarray(vals)[live])
+    np.testing.assert_allclose(np.asarray(outa)[0], want_sa,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outb)[0], want_sb,
+                               rtol=1e-5, atol=1e-5)
