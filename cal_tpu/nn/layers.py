@@ -218,12 +218,14 @@ class GATConvLayer(nn.Module):
             xh = (x @ w).reshape(bsz, n, self.heads, self.out_per_head)
             rate = self.dropout if not deterministic else 0.0
             # crossover between the two fused attention kernels (measured
-            # r3, v5e): the edge-formulated kernel's cost scales with the
-            # per-graph edge window Eg' x N (one-hot decode + MXU
-            # gather/scatter) while flash scales with N^2 x heads of VPU
-            # softmax; edge wins when the window stays under ~3N.
+            # r3, v5e): flash costs ~N^2 x heads of VPU softmax (0.61 ms
+            # fwd+bwd at N=128, 0.93 at N=256 per aggregate), the
+            # edge-formulated kernel ~Eg' x N of one-hot MXU work (~tied
+            # with flash at N=256/Eg'=512, loses below).  Flash wins every
+            # measured shape up to N=256; edge's linear-in-N cost takes
+            # over for large-N dense batches with sparse edges.
             eg_rows = -(-max(g.eg_budget, 1) // 128) + 2
-            if (self.use_flash and g.edge_flat is not None
+            if (self.use_flash and g.edge_flat is not None and n >= 384
                     and eg_rows * 128 <= 3 * n):
                 from cal_tpu.ops.pallas_gat_sparse import edge_gat_dense
 
