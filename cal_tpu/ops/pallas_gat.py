@@ -110,10 +110,12 @@ def _fwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref,
             mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
             num = jnp.exp(s - mh) * ceff
             den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
-            alpha = num / den
+            # reciprocal-multiply: an [N, N] divide is a multi-pass VPU op
+            alpha = num * (1.0 / den)
             if dropout > 0.0:
                 keep = _dropout_keep((n, n), dropout)
-                alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+                alpha = jnp.where(keep, alpha * (1.0 / (1.0 - dropout)),
+                                  0.0)
             xh_h = xh_ref[b][:, h * d:(h + 1) * d].astype(jnp.float32)
             o_ref[b, :, h * d:(h + 1) * d] = jnp.dot(
                 alpha, xh_h, preferred_element_type=jnp.float32)
@@ -140,7 +142,7 @@ def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
             lpre = jnp.where(allowed, _leaky(pre), _BIG_NEG)   # masked (see
             mh = m_ref[b, :, h:h + 1]                          # fwd kernel)
             den = den_ref[b, :, h:h + 1]
-            alpha = jnp.exp(lpre - mh) * ceff / den            # pre-dropout
+            alpha = jnp.exp(lpre - mh) * (ceff * (1.0 / den))  # pre-dropout
             if dropout > 0.0:
                 keep = _dropout_keep((n, n), dropout)          # fwd's bits
                 scale = jnp.where(keep, 1.0 / (1.0 - dropout), 0.0)
