@@ -215,7 +215,7 @@ class GATConvLayer(nn.Module):
             rng = self.make_rng("dropout")
         if isinstance(g, DenseGraphBatch):
             bsz, n, _ = x.shape
-            xh = (x @ w).reshape(bsz, n, self.heads, self.out_per_head)
+            xh_flat = x @ w
             rate = self.dropout if not deterministic else 0.0
             # crossover between the two fused attention kernels (measured
             # r3, v5e): flash costs ~N^2 x heads of VPU softmax (0.61 ms
@@ -229,18 +229,24 @@ class GATConvLayer(nn.Module):
                     and eg_rows * 128 <= 3 * n):
                 from cal_tpu.ops.pallas_gat_sparse import edge_gat_dense
 
+                xh = xh_flat.reshape(bsz, n, self.heads, self.out_per_head)
                 out = edge_gat_dense(
                     xh, g.edge_flat, g.eg_budget, att_dst, att_src,
                     rate, rng).astype(self.dtype)
+                out = out.reshape(bsz, n, self.heads * self.out_per_head)
             elif self.use_flash:
-                out = flash_gat_dense(
-                    xh, g.adj, att_dst, att_src, rate, rng
+                from cal_tpu.ops.pallas_gat import flash_gat_dense_flat
+
+                # flat entry: no [B, N, heads, d] relayout round trip
+                out = flash_gat_dense_flat(
+                    xh_flat, g.adj, att_dst, att_src, rate, rng
                 ).astype(self.dtype)
             else:
+                xh = xh_flat.reshape(bsz, n, self.heads, self.out_per_head)
                 out = gat_aggregate_dense(
                     xh, g.adj, att_dst, att_src, self.dropout, rng
                 )
-            out = out.reshape(bsz, n, self.heads * self.out_per_head)
+                out = out.reshape(bsz, n, self.heads * self.out_per_head)
         elif isinstance(g, PartitionedGraphBatch):
             from cal_tpu.parallel.edge_partition import (
                 partitioned_gat_aggregate)
