@@ -281,20 +281,21 @@ def _branch_fwd(m, x, cdt):
 
 
 def _att_dual_fwd_kernel(adj_ref, xc_ref, xo_ref, src_ref, dst_ref,
-                         oc_ref, oo_ref, *, cdt):
-    a = adj_ref[0].astype(jnp.float32)
-    n = a.shape[0]
-    src = src_ref[0].astype(jnp.float32)
-    dst = dst_ref[0].astype(jnp.float32)
-    sig = jax.nn.sigmoid(src + dst)
+                         oc_ref, oo_ref, *, cdt, gb):
+    n = adj_ref.shape[1]
     off = _offdiag(n)
-    a_off = jnp.where(off, a, 0.0)
-    mc = a_off * sig
-    mo = a_off - mc                      # a_off * (1 - sig)
-    oc_ref[0] = _branch_fwd(mc, xc_ref[0].astype(jnp.float32), cdt).astype(
-        oc_ref.dtype)
-    oo_ref[0] = _branch_fwd(mo, xo_ref[0].astype(jnp.float32), cdt).astype(
-        oo_ref.dtype)
+    for b in range(gb):
+        a = adj_ref[b].astype(jnp.float32)
+        src = src_ref[b].astype(jnp.float32)
+        dst = dst_ref[b].astype(jnp.float32)
+        sig = jax.nn.sigmoid(src + dst)
+        a_off = jnp.where(off, a, 0.0)
+        mc = a_off * sig
+        mo = a_off - mc                  # a_off * (1 - sig)
+        oc_ref[b] = _branch_fwd(mc, xc_ref[b].astype(jnp.float32),
+                                cdt).astype(oc_ref.dtype)
+        oo_ref[b] = _branch_fwd(mo, xo_ref[b].astype(jnp.float32),
+                                cdt).astype(oo_ref.dtype)
 
 
 def _branch_bwd(m, x, g, cdt):
@@ -322,27 +323,30 @@ def _branch_bwd(m, x, g, cdt):
 
 def _att_dual_bwd_kernel(adj_ref, xc_ref, xo_ref, src_ref, dst_ref,
                          gc_ref, go_ref,
-                         dxc_ref, dxo_ref, dsrc_ref, ddst_ref, *, cdt):
-    a = adj_ref[0].astype(jnp.float32)
-    n = a.shape[0]
-    src = src_ref[0].astype(jnp.float32)
-    dst = dst_ref[0].astype(jnp.float32)
-    sig = jax.nn.sigmoid(src + dst)
+                         dxc_ref, dxo_ref, dsrc_ref, ddst_ref, *, cdt, gb):
+    n = adj_ref.shape[1]
     off = _offdiag(n)
-    a_off = jnp.where(off, a, 0.0)
-    mc = a_off * sig
-    mo = a_off - mc
-    dxc, dmc = _branch_bwd(mc, xc_ref[0].astype(jnp.float32),
-                           gc_ref[0].astype(jnp.float32), cdt)
-    dxo, dmo = _branch_bwd(mo, xo_ref[0].astype(jnp.float32),
-                           go_ref[0].astype(jnp.float32), cdt)
-    dxc_ref[0] = dxc.astype(dxc_ref.dtype)
-    dxo_ref[0] = dxo.astype(dxo_ref.dtype)
-    # dw_c = a*dmc, dw_o = a*dmo; w_c = sig, w_o = 1-sig =>
-    # dpre = (dmc - dmo) * a_off * sig' with sig' = sig*(1-sig)
-    dpre = (dmc - dmo) * a_off * (sig * (1.0 - sig))
-    dsrc_ref[0] = jnp.sum(dpre, axis=0, keepdims=True).astype(dsrc_ref.dtype)
-    ddst_ref[0] = jnp.sum(dpre, axis=1, keepdims=True).astype(ddst_ref.dtype)
+    for b in range(gb):
+        a = adj_ref[b].astype(jnp.float32)
+        src = src_ref[b].astype(jnp.float32)
+        dst = dst_ref[b].astype(jnp.float32)
+        sig = jax.nn.sigmoid(src + dst)
+        a_off = jnp.where(off, a, 0.0)
+        mc = a_off * sig
+        mo = a_off - mc
+        dxc, dmc = _branch_bwd(mc, xc_ref[b].astype(jnp.float32),
+                               gc_ref[b].astype(jnp.float32), cdt)
+        dxo, dmo = _branch_bwd(mo, xo_ref[b].astype(jnp.float32),
+                               go_ref[b].astype(jnp.float32), cdt)
+        dxc_ref[b] = dxc.astype(dxc_ref.dtype)
+        dxo_ref[b] = dxo.astype(dxo_ref.dtype)
+        # dw_c = a*dmc, dw_o = a*dmo; w_c = sig, w_o = 1-sig =>
+        # dpre = (dmc - dmo) * a_off * sig' with sig' = sig*(1-sig)
+        dpre = (dmc - dmo) * a_off * (sig * (1.0 - sig))
+        dsrc_ref[b] = jnp.sum(dpre, axis=0, keepdims=True).astype(
+            dsrc_ref.dtype)
+        ddst_ref[b] = jnp.sum(dpre, axis=1, keepdims=True).astype(
+            ddst_ref.dtype)
 
 
 @jax.custom_vjp
@@ -358,16 +362,27 @@ def fused_gcn_dense_att_dual(xc, xo, adj, src, dst):
     return out
 
 
+def _dual_gb(batch: int, n: int) -> int:
+    """gb=2 measured 15% faster than per-graph at bench shapes (r3); cap
+    by the [gb, N, N] block's VMEM footprint like the other kernels."""
+    cap = max(1, (2 * 1024 * 1024) // max(n * n * 4, 1))
+    for g in (2, 1):
+        if g <= cap and batch % g == 0:
+            return g
+    return 1
+
+
 def _att_dual_fwd(xc, xo, adj, src, dst):
     B, n, _ = adj.shape
     h = xc.shape[-1]
-    kern = functools.partial(_att_dual_fwd_kernel, cdt=xc.dtype)
+    gb = _dual_gb(B, n)
+    kern = functools.partial(_att_dual_fwd_kernel, cdt=xc.dtype, gb=gb)
     oc, oo = pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=[_block((1, n, n)), _block((1, n, h)), _block((1, n, h)),
-                  _block((1, 1, n)), _block((1, n, 1))],
-        out_specs=[_block((1, n, h)), _block((1, n, h))],
+        grid=(B // gb,),
+        in_specs=[_block((gb, n, n)), _block((gb, n, h)), _block((gb, n, h)),
+                  _block((gb, 1, n)), _block((gb, n, 1))],
+        out_specs=[_block((gb, n, h)), _block((gb, n, h))],
         out_shape=[jax.ShapeDtypeStruct((B, n, h), xc.dtype),
                    jax.ShapeDtypeStruct((B, n, h), xo.dtype)],
         interpret=_interpret(),
@@ -380,15 +395,16 @@ def _att_dual_bwd(res, grads):
     gc, go = grads
     B, n, _ = adj.shape
     h = xc.shape[-1]
-    kern = functools.partial(_att_dual_bwd_kernel, cdt=xc.dtype)
+    gb = _dual_gb(B, n)
+    kern = functools.partial(_att_dual_bwd_kernel, cdt=xc.dtype, gb=gb)
     dxc, dxo, dsrc, ddst = pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=[_block((1, n, n)), _block((1, n, h)), _block((1, n, h)),
-                  _block((1, 1, n)), _block((1, n, 1)),
-                  _block((1, n, h)), _block((1, n, h))],
-        out_specs=[_block((1, n, h)), _block((1, n, h)),
-                   _block((1, 1, n)), _block((1, n, 1))],
+        grid=(B // gb,),
+        in_specs=[_block((gb, n, n)), _block((gb, n, h)), _block((gb, n, h)),
+                  _block((gb, 1, n)), _block((gb, n, 1)),
+                  _block((gb, n, h)), _block((gb, n, h))],
+        out_specs=[_block((gb, n, h)), _block((gb, n, h)),
+                   _block((gb, 1, n)), _block((gb, n, 1))],
         out_shape=[
             jax.ShapeDtypeStruct((B, n, h), xc.dtype),
             jax.ShapeDtypeStruct((B, n, h), xo.dtype),
