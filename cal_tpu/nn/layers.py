@@ -24,7 +24,6 @@ import flax.linen as nn
 from cal_tpu.graph import DenseGraphBatch, GraphBatch, PartitionedGraphBatch
 from cal_tpu.ops.gcn import gcn_aggregate
 from cal_tpu.ops.gat import gat_aggregate_dense, gat_aggregate_sparse
-from cal_tpu.ops.pallas_gat import flash_gat_dense
 from cal_tpu.ops.gin import gin_aggregate
 
 
