@@ -18,7 +18,7 @@ from functools import partial
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cal_tpu.parallel.mesh import batch_pspecs
+from cal_tpu.parallel.mesh import _drop_packed_pallas, batch_pspecs
 from cal_tpu.train.steps import (
     make_causal_eval_step,
     make_causal_train_step,
@@ -27,6 +27,9 @@ from cal_tpu.train.steps import (
 
 def _shardings(mesh, batch_example, state_example):
     rep = NamedSharding(mesh, P())
+    # shard_batch strips mesh-incompatible static plans (Pallas adj-build
+    # budget, tile plans); the example must match that structure.
+    batch_example = _drop_packed_pallas(batch_example)
     b = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_pspecs(batch_example))
     st = jax.tree.map(lambda _: rep, state_example)
     return st, b, rep

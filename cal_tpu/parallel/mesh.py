@@ -89,22 +89,37 @@ def batch_pspecs(batch):
     return jax.tree_util.tree_map_with_path(leaf_spec, batch)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with dp sharding over the graph dimension.
+def normalize_for_mesh(batch):
+    """Strip batch plans that don't survive mesh sharding.
 
-    Block-COO tile plans (GraphBatch.tiles) index the *global* node space —
-    they don't survive dp sharding, so the dp path strips them and the convs
-    fall back to XLA segment ops (disable spmm_tiles in dp loaders)."""
+    * GraphBatch block-COO tile plans index the *global* node space — under
+      dp sharding the convs fall back to XLA segment ops.
+    * DenseGraphBatch.edge_flat / PackedDenseBatch.eg_budget > 0 route
+      ``to_dense`` through the one-hot adj-build Pallas kernel
+      (ops/pallas_adj.py), which reads GLOBAL flat indices — a dp-sharded
+      edge_flat slice doesn't align with the device's graph-slot shard, so
+      GSPMD would replicate the full [B, N, N] build per device (or fail to
+      lower).  Zeroing the budget selects the XLA sorted-scatter path, which
+      GSPMD partitions correctly (see _PACKED_SPECS note)."""
+    import dataclasses
+
     if isinstance(batch, GraphBatch) and batch.tiles is not None:
-        import dataclasses
-
         batch = dataclasses.replace(batch, tiles=None)
     if isinstance(batch, DenseGraphBatch) and batch.edge_flat is not None:
-        # edge_flat indexes the GLOBAL graph dimension — it doesn't survive
-        # dp sharding; the dense path falls back to the [B, N, N] math.
-        import dataclasses
-
         batch = dataclasses.replace(batch, edge_flat=None, eg_budget=0)
+    if isinstance(batch, PackedDenseBatch) and batch.eg_budget > 0:
+        batch = dataclasses.replace(batch, eg_budget=0)
+    return batch
+
+
+# back-compat alias used by dp.py
+_drop_packed_pallas = normalize_for_mesh
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with dp sharding over the graph dimension
+    (plans that don't survive sharding are stripped, ``normalize_for_mesh``)."""
+    batch = normalize_for_mesh(batch)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), batch_pspecs(batch)
     )
@@ -114,6 +129,7 @@ def shard_batch(batch, mesh: Mesh):
 def shard_stacked(stacked, mesh: Mesh):
     """Device-put a ``stack_batches`` result (leading scan axis) — the scan
     axis is replicated, per-batch dims shard as in ``batch_pspecs``."""
+    stacked = normalize_for_mesh(stacked)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, P(None, *spec)),
         batch_pspecs(stacked),

@@ -428,6 +428,7 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
 
     budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
     tiles = "auto" if cfg.use_pallas else False
+    prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
     train_loaders, test_stacks, states, host_rngs = [], [], [], []
     for fold, (train_idx, test_idx, _val_idx) in enumerate(
         zip(*fold_indices)
@@ -436,11 +437,12 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
         test_set = [graphs[i] for i in test_idx]
         tl = Loader(train_set, cfg.batch_size, shuffle=True,
                     layout=cfg.layout, budgets=budgets, seed=cfg.seed + fold,
-                    spmm_tiles=tiles)
+                    spmm_tiles=tiles, spmm_precision=prec)
         train_loaders.append(tl)
         test_stacks.append(list(Loader(
             test_set, cfg.batch_size, shuffle=False, layout=cfg.layout,
-            budgets=budgets, seed=0, spmm_tiles=tiles).host_batches()))
+            budgets=budgets, seed=0, spmm_tiles=tiles,
+            spmm_precision=prec).host_batches()))
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
         host_rngs.append(rng)

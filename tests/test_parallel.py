@@ -119,6 +119,45 @@ def test_intervention_collective_is_valid_permutation(impl):
     assert not np.array_equal(src_shard, np.repeat(np.arange(8), g_local))
 
 
+def test_dp_dense_packed_strips_pallas_adj_budget(graphs):
+    """ADVICE r3 (medium): a dp-sharded PackedDenseBatch must not keep
+    eg_budget > 0 — the adj-build Pallas kernel reads GLOBAL flat indices
+    that don't align with dp shards.  The guard must cover shard_batch,
+    shard_stacked (scan-epoch path), and the dp step must still match
+    single-device numerics on the XLA-scatter fallback."""
+    from cal_tpu.parallel import shard_stacked
+    from cal_tpu.train.steps import stack_batches_host, to_device
+
+    cfg = Config(model="CausalGCN", hidden=16, layers=2, layout="dense",
+                 batch_size=8, epochs=2)
+    budgets = compute_budgets(graphs, cfg.batch_size, "dense")
+    assert budgets["edge_per_graph"] > 0
+    loader = Loader(graphs, cfg.batch_size, layout="dense", budgets=budgets)
+    batch = next(iter(loader))
+    assert batch.eg_budget > 0
+    mesh = make_mesh(dp=8, edge=1)
+
+    sb = shard_batch(batch, mesh)
+    assert sb.eg_budget == 0
+
+    stacked = stack_batches_host(list(loader.host_batches()))
+    sst = shard_stacked(stacked, mesh)
+    assert sst.eg_budget == 0
+
+    model = get_model(cfg, 0, 3)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, 1, 0.0)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, tx, batch, rng)
+    single_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co, True)
+    s1, m1 = single_step(jax.tree.map(jnp.copy, state), batch, rng)
+    dp_step = make_dp_causal_train_step(
+        model, tx, cfg.c, cfg.o, cfg.co, True, mesh, state, batch)
+    s2, m2 = dp_step(replicate(jax.tree.map(jnp.copy, state), mesh), sb,
+                     replicate(rng, mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+
+
 def test_dp_step_matches_single_device(graphs):
     cfg = Config(model="CausalGCN", hidden=16, layers=2, layout="sparse",
                  batch_size=8, epochs=2)
