@@ -1,0 +1,122 @@
+"""Per-op attribution of the full causal train step (VERDICT r3 weak #1:
+"Attribution of step time, not aggregate time, is what would prove (or
+disprove) the ceiling").
+
+Traces a scanned multi-step dispatch of the production config with the JAX
+profiler, parses the Chrome-trace export, and prints a ms/step table of the
+top device ops.  Usage:
+
+    python -m benchmarks.profile_step [CausalGAT] [bfloat16]
+
+The scan runs STEPS identical train steps inside one dispatch, so per-step
+numbers are honest (no dispatch/fetch round-trip inflation — CLAUDE.md
+timing rules; the fixed ~26 ms tunnel RTT amortizes over the whole trace
+and the while-loop total is read device-side)."""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+import jax
+import numpy as np
+
+STEPS = 30
+
+
+def build_epoch(model_name: str, dtype: str):
+    from cal_tpu.data.loader import Loader, compute_budgets
+    from cal_tpu.data.synthetic import (
+        dataset_bias_split, generate_synthetic_dataset)
+    from cal_tpu.models.factory import get_model
+    from cal_tpu.train.optim import make_optimizer
+    from cal_tpu.train.steps import (
+        init_state, make_causal_train_epoch, stack_batches)
+    from cal_tpu.utils.config import Config
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config(model=model_name, bias=0.9, lr=0.002, min_lr=5e-6,
+                 dtype=dtype)
+    dataset = generate_synthetic_dataset(
+        data_num=64, node_num=cfg.node_num, max_degree=cfg.max_degree,
+        noise=cfg.noise, seed=cfg.seed,
+        cache_path=os.path.join(here, "data", "bench_syn_64.pkl"))
+    train_set, _, _, _ = dataset_bias_split(dataset, bias=cfg.bias,
+                                            total=64 * 4, seed=cfg.seed)
+    budgets = compute_budgets(train_set, cfg.batch_size, cfg.layout)
+    loader = Loader(train_set, cfg.batch_size, shuffle=True,
+                    layout=cfg.layout, budgets=budgets, seed=cfg.seed,
+                    drop_remainder=True)
+    batches = list(loader)
+    reps = -(-STEPS // len(batches))
+    stacked = stack_batches(batches * reps)
+    model = get_model(cfg, 0, cfg.num_classes)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(batches), 0.0)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, tx, batches[0], rng)
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
+                                       cfg.with_random)
+    count = jax.jit(
+        lambda b: (b.edge_flat < b.x.shape[0] * b.x.shape[1] ** 2).sum())
+    edges = float(np.mean([float(count(b)) for b in batches]))
+    return epoch_fn, state, stacked, rng, edges
+
+
+def parse_trace(log_dir: str, n_steps: int):
+    """ms/step per device op, from the profiler's Chrome-trace export."""
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    assert paths, f"no trace under {log_dir}"
+    d = json.load(gzip.open(sorted(paths)[-1]))
+    ev = d["traceEvents"]
+    device_pids = {
+        e["pid"] for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in e["args"].get("name", "")
+    }
+    agg, cnt = collections.Counter(), collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            name = e["name"]
+            if name.startswith(("jit_", "while")) or name == "0":
+                if name.startswith("while"):
+                    total = max(total, e["dur"])
+                continue
+            agg[name] += e["dur"]
+            cnt[name] += 1
+    rows = [(t / 1e3 / n_steps, cnt[n], n) for n, t in agg.most_common()]
+    return rows, total / 1e3 / n_steps
+
+
+def main():
+    model_name = sys.argv[1] if len(sys.argv) > 1 else "CausalGAT"
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    epoch_fn, state, stacked, rng, edges = build_epoch(model_name, dtype)
+    # warm up / compile outside the trace
+    state, m = epoch_fn(state, stacked, rng)
+    float(m["loss"])
+    log_dir = tempfile.mkdtemp(prefix="profile_step_")
+    jax.profiler.start_trace(log_dir)
+    state, m = epoch_fn(state, stacked, rng)
+    float(m["loss"])
+    jax.profiler.stop_trace()
+    n_steps = stacked.y.shape[0]
+    rows, step_ms = parse_trace(log_dir, n_steps)
+    top = rows[:25]
+    accounted = sum(r[0] for r in rows)
+    print(f"\n{model_name} {dtype}: {step_ms:.3f} ms/step "
+          f"({edges / (step_ms * 1e-3) / 1e6:.1f}M edges/s), "
+          f"op-sum {accounted:.3f} ms/step over {len(rows)} ops")
+    print(f"{'ms/step':>9}  {'count':>5}  op")
+    for ms, c, name in top:
+        print(f"{ms:9.4f}  {c:5d}  {name[:100]}")
+    print(f"\ntrace: {log_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,8 @@ def create_n_filter_triples(
     out = []
     for dataset, feat_str, net in triples:
         if reddit_odeg10 and dataset in (
-            "REDDIT-BINARY", "REDDIT-MULTI-5K", "REDDIT-MULTI-12K"
+            "REDDIT-BINARY", "REDDIT-MULTI-5K", "REDDIT-MULTI-12K",
+            "SYNREDDIT",  # no-egress REDDIT-BINARY stand-in
         ):
             feat_str = feat_str.replace("odeg100", "odeg10")
         if dd_odeg10_ak1 and dataset == "DD":

@@ -175,11 +175,18 @@ def make_graph(
     noise: float,
     rng: np.random.Generator,
     shape_num: int = 1,
+    feature_dim: int = -1,
 ) -> HostGraph:
     g = build_graph(context, shape, node_num, rng, shape_num)
     if noise:
         g = perturb(g, noise, rng)
-    x = degree_onehot(g, max_degree)
+    if feature_dim >= 0:
+        # reference utils.py:43-47: ConstFeatureGen(np.random.uniform(0, 1,
+        # feature_dim)) — a fresh uniform vector per GRAPH, constant across
+        # that graph's nodes (structure carries all class signal)
+        x = const_features(g, rng.uniform(0.0, 1.0, feature_dim))
+    else:
+        x = degree_onehot(g, max_degree)
     return nx_to_host_graph(g, label, x)
 
 
@@ -191,6 +198,7 @@ def generate_synthetic_dataset(
     shape_num: int = 1,
     seed: int = 666,
     cache_path: str | None = None,
+    feature_dim: int = -1,
 ) -> Dict[str, Dict[str, List[HostGraph]]]:
     """dataset[context][shape] = data_num HostGraphs (utils.py:59-89)."""
     if cache_path and os.path.exists(cache_path):
@@ -209,7 +217,7 @@ def generate_synthetic_dataset(
             dataset[context][shape] = [
                 make_graph(
                     context, shape, label, node_num, max_degree, noise, rng,
-                    shape_num,
+                    shape_num, feature_dim=feature_dim,
                 )
                 for _ in range(data_num)
             ]

@@ -584,7 +584,7 @@ def _live_f32(tiles, num_nodes):
             & (tiles.sglb < num_nodes)).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gcn_aggregate_sparse_sigmoid_pallas(x, src, dst, tiles_fwd, tiles_bwd,
                                         negate=False,
                                         node_block=NODE_BLOCK):
@@ -622,12 +622,14 @@ def _sig_fwd(x, src, dst, tiles_fwd, tiles_bwd, negate, node_block):
     coef_f = dis_s * w * dis_r
     out = _spmm_call(x32, coef_f, tiles_fwd, node_block)
     out = out + x32 / deg[:, None]
-    res = (x32, src, dst, w, dis_s, dis_r, deg, dis)
+    # tile plans ride in the residuals (NOT nondiff_argnums: they contain
+    # arrays, which arrive as tracers when the batch flows through jit/scan)
+    res = (x32, src, dst, w, dis_s, dis_r, deg, dis, tiles_fwd, tiles_bwd)
     return out.astype(x.dtype), res
 
 
-def _sig_bwd(tiles_fwd, tiles_bwd, negate, node_block, res, gout):
-    x32, src, dst, w, dis_s, dis_r, deg, dis = res
+def _sig_bwd(negate, node_block, res, gout):
+    x32, src, dst, w, dis_s, dis_r, deg, dis, tiles_fwd, tiles_bwd = res
     num_nodes = x32.shape[0]
     f32 = jnp.float32
     g32 = gout.astype(f32)
@@ -665,8 +667,11 @@ def _sig_bwd(tiles_fwd, tiles_bwd, negate, node_block, res, gout):
         dpre = -dpre
     dsrcP, ddstP = tile_scatter2(slot(dpre), slot(dpre),
                                  tiles_fwd, num_nodes, node_block)
+    zeros_like_tiles = lambda t: jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
     return (dx.astype(x32.dtype), dsrcP[0].astype(src.dtype),
-            ddstP[0].astype(dst.dtype))
+            ddstP[0].astype(dst.dtype),
+            zeros_like_tiles(tiles_fwd), zeros_like_tiles(tiles_bwd))
 
 
 gcn_aggregate_sparse_sigmoid_pallas.defvjp(_sig_fwd, _sig_bwd)

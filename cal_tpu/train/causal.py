@@ -146,7 +146,8 @@ def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
             for i, s in enumerate(sets)
         ]
         return mesh, loaders
-    budgets = compute_budgets(budget_graphs, cfg.batch_size, cfg.layout)
+    budgets = compute_budgets(budget_graphs, cfg.batch_size, cfg.layout,
+                              pack=_want_pack(cfg, budget_graphs))
     tiles = "auto" if cfg.use_pallas else False
     prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
     loaders = [
@@ -156,6 +157,28 @@ def _make_mesh_and_loaders(cfg: Config, sets, budget_graphs, seeds=None,
         for i, s in enumerate(sets)
     ]
     return None, loaders
+
+
+def _want_pack(cfg: Config, graphs) -> bool:
+    """Budget-packed sparse batching (data/loader.py compute_packed_budgets):
+    on when requested, or in "auto" when the worst-case static budget
+    (sum of the batch_size largest graphs) overshoots the mean batch by
+    >1.5x — the heavy-tailed regime where fixed-shape padding wastes most
+    of the step's compute."""
+    if cfg.layout != "sparse" or cfg.pack_batches == "false":
+        return False
+    if cfg.pack_batches == "true":
+        return True
+    ns = np.array([g.num_nodes for g in graphs], np.float64)
+    k = min(cfg.batch_size, len(ns))
+    worst = np.sort(ns)[-k:].sum()
+    mean_batch = ns.mean() * k
+    pack = bool(worst > 1.5 * mean_batch)
+    if pack:
+        print(f"pack_batches auto: worst-case batch {worst:.0f} nodes is "
+              f"{worst / mean_batch:.1f}x the mean batch — enabling "
+              f"budget-packed batching")
+    return pack
 
 
 def train_causal_syn(
@@ -174,8 +197,8 @@ def train_causal_syn(
     )
 
     model = get_model(cfg, 0, cfg.num_classes)
-    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(train_loader),
-                        cfg.weight_decay)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs,
+                        train_loader.schedule_steps, cfg.weight_decay)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = init_state(model, tx, next(iter(train_loader)), init_rng)
@@ -608,21 +631,8 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     # compiled XLA programs instead of paying a full recompile.
     model = get_model(cfg, 0, num_classes)
     fold_indices = k_fold(labels, folds, cfg.epoch_select)
-    # cosine schedule epoch boundary: use fold 0's step count (fold sizes
-    # differ by <1 batch; the schedule is stepped per-epoch as in the
-    # reference, train_causal.py:29)
-    steps_per_epoch = -(-len(fold_indices[0][0]) // cfg.batch_size)
-    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
-                        cfg.weight_decay)
-    if cfg.scan_epochs:
-        epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
-                                           cfg.with_random)
-        eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
-    else:
-        train_step = make_causal_train_step(model, tx, cfg.c, cfg.o, cfg.co,
-                                            cfg.with_random)
-        eval_step = make_causal_eval_step(model, cfg.eval_random)
     init_fn = make_init_fn(model, causal=True)
+    tx = None
 
     for fold, (train_idx, test_idx, _val_idx) in enumerate(
         zip(*fold_indices)
@@ -632,6 +642,23 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
         mesh, (train_loader, test_loader) = _make_mesh_and_loaders(
             cfg, [train_set, test_set], graphs,
             seeds=[cfg.seed + fold, 0])
+        if tx is None:
+            # cosine schedule epoch boundary: use fold 0's real step count
+            # (fold sizes differ by <1 batch; the schedule is stepped
+            # per-epoch as in the reference, train_causal.py:29).  Built
+            # AFTER the fold-0 loader so budget-packed epochs (pack mode)
+            # count only real optimizer steps.
+            tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs,
+                                train_loader.schedule_steps,
+                                cfg.weight_decay)
+            if cfg.scan_epochs:
+                epoch_fn = make_causal_train_epoch(
+                    model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)
+                eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
+            else:
+                train_step = make_causal_train_step(
+                    model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)
+                eval_step = make_causal_eval_step(model, cfg.eval_random)
         if cfg.scan_epochs:
             # test loader doesn't shuffle: pack + stack once per fold
             test_stacked = _stack_loader(test_loader, mesh)

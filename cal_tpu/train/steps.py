@@ -87,6 +87,29 @@ def init_state(
     )
 
 
+def _gate_state(new_state: "TrainState", old_state: "TrainState",
+                valid) -> "TrainState":
+    """Select ``new_state`` where ``valid`` (a scalar bool), else keep
+    ``old_state`` unchanged.
+
+    Budget-packed epochs (data/loader.py pack mode) pad the scanned batch
+    stack with fully-masked batches so every epoch compiles to one static
+    shape; a masked batch must be a true no-op — without the gate, Adam's
+    moment decay still moves parameters at zero gradient and the masked-BN
+    running stats get pulled toward the guard value."""
+    sel = lambda a, b: jnp.where(valid, a, b)
+    return TrainState(
+        params=jax.tree.map(sel, new_state.params, old_state.params),
+        batch_stats=jax.tree.map(sel, new_state.batch_stats,
+                                 old_state.batch_stats),
+        opt_state=jax.tree.map(sel, new_state.opt_state,
+                               old_state.opt_state),
+        # the PRNG stream is fold_in(rng, step): pad batches must not
+        # advance it, or packed and unpacked runs would diverge.
+        step=jnp.where(valid, new_state.step, old_state.step),
+    )
+
+
 def _causal_step_fn(model, tx, c_w, o_w, co_w, with_random: bool):
     """Un-jitted single-step body shared by the per-step and the
     device-side epoch-scan entry points."""
@@ -131,7 +154,7 @@ def _causal_step_fn(model, tx, c_w, o_w, co_w, with_random: bool):
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return new_state, aux
+        return _gate_state(new_state, state, aux["n"] > 0), aux
 
     return step
 
@@ -317,7 +340,7 @@ def _baseline_step_fn(model, tx):
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return new_state, aux
+        return _gate_state(new_state, state, aux["n"] > 0), aux
 
     return step
 

@@ -83,6 +83,12 @@ class Config:
                                    # dp*edge > 1 trains on a Mesh(('dp','edge'))
                                    # via the PartitionedGraphBatch layout
     use_pallas: bool = True        # use Pallas kernels where available
+    pack_batches: str = "auto"     # "auto"/"true"/"false": budget-packed
+                                   # sparse batching (variable graphs/batch
+                                   # under fixed node+edge budgets) — auto
+                                   # enables it when worst-case padding
+                                   # exceeds 1.5x the mean batch (heavy-
+                                   # tailed datasets like REDDIT/DD)
     scan_epochs: bool = True       # device-side epoch loop (1 dispatch/epoch)
     fold_parallel: bool = False    # k-fold protocol: train ALL folds at once
                                    # (vmapped epoch; fold axis sharded over

@@ -47,13 +47,18 @@ def main():
                 cfg, [val, test], graphs, shuffle_first=False)
             for split_name, loader in (("valid", val_loader),
                                        ("test", test_loader)):
-                y, _, o_logs, co_logs = predict_causal(
+                y, c_logs, o_logs, co_logs = predict_causal(
                     model, out["state"], loader, cfg.eval_random, mesh=mesh)
                 auc_o = roc_auc_score(y, o_logs[:, 1])
                 auc_co = roc_auc_score(y, co_logs[:, 1])
+                # c-branch AUC ~= 50 is the evidence that the KL-to-uniform
+                # objective collapsed the shortcut branch (its argmax
+                # accuracy is meaningless at molhiv-style class imbalance)
+                auc_c = roc_auc_score(y, c_logs[:, 1])
                 print(f"sydall: {cfg.dataset} {split_name} "
                       f"ROC-AUC o:[{100 * auc_o:.2f}] "
-                      f"co:[{100 * auc_co:.2f}]")
+                      f"co:[{100 * auc_co:.2f}] "
+                      f"c:[{100 * auc_c:.2f}] (collapse target 50)")
         return
     triples = create_n_filter_triples([cfg.dataset])
     for dataset_name, feat_str, _net in triples:

@@ -24,11 +24,13 @@ def main():
         noise=cfg.noise,
         shape_num=cfg.shape_num,
         seed=cfg.seed,
+        feature_dim=cfg.feature_dim,
         cache_path=os.path.join(
             cfg.data_root,
-            "syn_dataset_n{}_nn{}_md{}_noise{}_s{}.pkl".format(
+            "syn_dataset_n{}_nn{}_md{}_noise{}_s{}{}.pkl".format(
                 cfg.data_num, cfg.node_num, cfg.max_degree, cfg.noise,
                 cfg.seed,
+                "" if cfg.feature_dim == -1 else f"_fd{cfg.feature_dim}",
             ),
         ),
     )

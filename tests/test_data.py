@@ -132,3 +132,32 @@ def test_build_graph_tuple_spec(rng):
 
     g = build_graph("ba", ("clique", 4), node_num=5, rng=rng)
     assert g.number_of_nodes() == 25 + 4
+
+
+def test_feature_dim_const_features(rng):
+    """reference utils.py:43-47: --feature_dim >= 0 switches node features
+    to a per-graph uniform[0,1) constant vector of that size."""
+    from cal_tpu.data.synthetic import make_graph
+
+    g = make_graph("tree", "house", 0, 15, 10, 0.1, rng, feature_dim=8)
+    assert g.x.shape == (g.num_nodes, 8)
+    # constant across nodes within the graph
+    assert np.allclose(g.x, g.x[0])
+    assert (g.x >= 0).all() and (g.x < 1).all()
+    # a second graph draws a different vector
+    g2 = make_graph("tree", "house", 0, 15, 10, 0.1, rng, feature_dim=8)
+    assert not np.allclose(g.x[0], g2.x[0])
+
+
+def test_feature_dim_trains_end_to_end(rng):
+    from cal_tpu.data.synthetic import (
+        dataset_bias_split, generate_synthetic_dataset)
+    from cal_tpu.train.causal import train_causal_syn
+    from cal_tpu.utils.config import Config
+
+    cfg = Config(model="CausalGCN", hidden=16, layers=2, epochs=2,
+                 batch_size=8, feature_dim=8, data_num=8)
+    ds = generate_synthetic_dataset(data_num=8, node_num=5, feature_dim=8)
+    train, val, test, _ = dataset_bias_split(ds, bias=0.9, total=32)
+    out = train_causal_syn(train, val, test, cfg, verbose=False)
+    assert np.isfinite(out["best_val_acc"])
