@@ -60,6 +60,7 @@ def compute_packed_budgets(
         "node_budget": _round_up(node_budget, 128),
         "edge_budget": _round_up(edge_budget, 128),
         "pack": True,
+        "max_graph_nodes": int(ns.max()),
     }
 
 
@@ -86,7 +87,8 @@ def compute_budgets(
         return {"node_budget": node_budget, "edge_budget": edge_budget,
                 "edge_per_graph": max(e_sorted[0], 1)}
     pad_n, pad_e = pad_sizes_for(graphs, batch_size)
-    return {"node_budget": pad_n, "edge_budget": pad_e}
+    return {"node_budget": pad_n, "edge_budget": pad_e,
+            "max_graph_nodes": max(g.num_nodes for g in graphs)}
 
 
 _DONE = object()
@@ -156,8 +158,15 @@ class Loader:
             # The tiled kernel wins in the large-graph regime (measured
             # 1.64x at V=8192/E=131072, benchmarks/sweep_spmm.py) but its
             # fixed per-tile MXU cost loses on small batches, where XLA's
-            # segment ops are already cheap.
-            spmm_tiles = self.budgets["node_budget"] >= 2048
+            # segment ops are already cheap; and at REDDIT-style sparsity
+            # (mean degree ~2, banded block pairs with ~65 edges each) the
+            # 512-slot tiles run nearly empty — the MXU work inflates by
+            # the reciprocal of the fill factor, so the kernel only
+            # dispatches when the worst-case fill estimate clears 0.35
+            # (the V=8192/E=131k shape that measures the 1.32x win
+            # estimates 0.46; SYNREDDIT-style sparsity estimates 0.11).
+            spmm_tiles = (self.budgets["node_budget"] >= 2048
+                          and self._tile_fill_estimate() >= 0.35)
         self.spmm_tiles = bool(spmm_tiles) and layout == "sparse"
         if self.spmm_tiles:
             # Block-COO plans need the node budget on a node-block boundary
@@ -170,7 +179,18 @@ class Loader:
                 self.budgets["node_budget"], self._node_block)
             self._tile_budget = _ps.tile_budget_for(
                 self.budgets["edge_budget"], self.budgets["node_budget"],
-                self._node_block, self._tile_edges)
+                self._node_block, self._tile_edges,
+                max_graph_nodes=self.budgets.get("max_graph_nodes"))
+
+    def _tile_fill_estimate(self) -> float:
+        """Expected live-edge fraction of the block-COO tile slots."""
+        from cal_tpu.ops import pallas_spmm as _ps
+
+        nb = _round_up(self.budgets["node_budget"], _ps.NODE_BLOCK)
+        budget = _ps.tile_budget_for(
+            self.budgets["edge_budget"], nb, _ps.NODE_BLOCK, _ps.TILE_EDGES,
+            max_graph_nodes=self.budgets.get("max_graph_nodes"))
+        return self.budgets["edge_budget"] / (budget * _ps.TILE_EDGES)
 
     def _build_tiles(self, senders: np.ndarray, receivers: np.ndarray,
                      edge_mask: np.ndarray | None = None):

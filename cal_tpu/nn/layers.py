@@ -223,6 +223,13 @@ class GATConvLayer(nn.Module):
             # with flash at N=256/Eg'=512, loses below).  Flash wins every
             # measured shape up to N=256; edge's linear-in-N cost takes
             # over for large-N dense batches with sparse edges.
+            # PROVENANCE: the N >= 384 / Eg' <= 3N constants encode the
+            # v5e crossover (benchmarks/sweep_gat_sparse.py) — re-measure
+            # on other TPU generations (bench.py warns off-v5e).  Dropout
+            # nuance at the crossover: the edge kernel draws keep bits per
+            # duplicate-edge SLOT, the flash kernel per aggregated (r, s)
+            # CELL, so on multigraphs the training-time dropout law changes
+            # across the switch (eval/replay unaffected; ADVICE r3).
             eg_rows = -(-max(g.eg_budget, 1) // 128) + 2
             if (self.use_flash and g.edge_flat is not None and n >= 384
                     and eg_rows * 128 <= 3 * n):

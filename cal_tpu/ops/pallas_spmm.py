@@ -192,12 +192,25 @@ def build_tiles(
 
 def tile_budget_for(num_edges: int, num_nodes: int,
                     node_block: int = NODE_BLOCK,
-                    tile_edges: int = TILE_EDGES) -> int:
+                    tile_edges: int = TILE_EDGES,
+                    max_graph_nodes: int | None = None) -> int:
     """Worst-case tile count for any edge structure with these budgets:
     every (i, j) block pair can leave one partially-filled tile, plus the
-    full tiles, plus the one-empty-tile-per-receiver-block guarantee."""
+    full tiles, plus the one-empty-tile-per-receiver-block guarantee.
+
+    ``max_graph_nodes`` exploits the disjoint-union batch layout: graphs
+    are packed contiguously (graph.py batch_graphs), so both endpoints of
+    any edge lie within one graph and ``|s - r| < max_graph_nodes`` —
+    block pairs form a diagonal BAND.  Without it, the nb^2 all-pairs term
+    explodes at REDDIT scale (V=70k -> 19k tiles, 236 MB of plan arrays
+    per batch; r4 measured the flagship run host-bound for >20 min)."""
     nb = num_nodes // node_block
-    return int(num_edges // tile_edges + nb * nb + nb)
+    if max_graph_nodes is not None:
+        band = -(-(max_graph_nodes - 1) // node_block)  # ceil
+        pairs = nb * min(2 * band + 2, nb)
+    else:
+        pairs = nb * nb
+    return int(num_edges // tile_edges + pairs + nb)
 
 
 def _onehot(loc, n, dtype):
@@ -259,15 +272,82 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+# VMEM budget for the resident variants: whole-operand buffers must fit
+# next to the per-tile one-hots (VMEM ~16 MB/core, pallas guide).
+_RESIDENT_VMEM_BYTES = 10 << 20
+
+
+def _mm_bytes(mm_dtype):
+    return 2 if mm_dtype == jnp.bfloat16 else 4
+
+
+def _resident_ok(v: int, h: int, mm_dtype, n_operands: int = 1) -> bool:
+    """True when the whole [V, H] operand(s) + f32 out fit in VMEM.
+
+    Profiling the streaming kernel (r4) showed its HBM traffic is
+    n_tiles x [NB, H] x-block DMAs — ~34x the useful bytes at the bench
+    shape (528 tiles x 256 KB vs a 4 MB x array), which is exactly the
+    measured 7%-of-byte-floor.  When x fits in VMEM, load it ONCE and
+    dynamic-slice the sender block per tile instead."""
+    per = v * h * _mm_bytes(mm_dtype)
+    return per * n_operands + v * h * 4 <= _RESIDENT_VMEM_BYTES
+
+
+def _spmm_kernel_res(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
+                     x_ref, out_ref, *, mm_dtype, node_block):
+    del first
+    t = pl.program_id(0)
+    prec = _mm_precision(mm_dtype)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    xb = x_ref[pl.ds(jarr[t] * node_block, node_block), :]
+    msg = jnp.dot(oh_s, xb.astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    msg = msg * coef_ref[0, 0][:, None]
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    i0 = iarr[t] * node_block
+    out_ref[pl.ds(i0, node_block), :] += upd
+
+
 def _spmm_call(x, coef_t, tiles, node_block):
     """out[r] += coef * x[s] for the edge structure in ``tiles``."""
     n_tiles, T = tiles.sloc.shape
     H = x.shape[1]
+    V = x.shape[0]
     # Mosaic needs the last two block dims to be (mult-of-8, mult-of-128) or
     # equal to the array dims — lift per-tile vectors to [n_tiles, 1, T].
     lift = lambda a: a.reshape(n_tiles, 1, T)
     vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
                             memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    if _resident_ok(V, H, mm_dtype):
+        # whole x pinned in VMEM (pre-cast to the matmul dtype so the
+        # resident buffer is half-size in bf16 mode), whole out accumulated
+        # in VMEM — HBM traffic drops to one read + one write of [V, H]
+        full = lambda: pl.BlockSpec((V, H), lambda t, i, j, f: (0, 0),
+                                    memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_tiles,),
+            in_specs=[vec_spec, vec_spec, vec_spec, full()],
+            out_specs=full(),
+        )
+        return pl.pallas_call(
+            functools.partial(_spmm_kernel_res, mm_dtype=mm_dtype,
+                              node_block=node_block),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            interpret=_interpret(),
+        )(tiles.iblk, tiles.jblk, tiles.first,
+          lift(tiles.sloc), lift(tiles.rloc), lift(coef_t),
+          x.astype(mm_dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -281,7 +361,6 @@ def _spmm_call(x, coef_t, tiles, node_block):
         out_specs=pl.BlockSpec((node_block, H), lambda t, i, j, f: (i[t], 0),
                                memory_space=pltpu.VMEM),
     )
-    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
     return pl.pallas_call(
         functools.partial(_spmm_kernel, mm_dtype=mm_dtype),
         grid_spec=grid_spec,
@@ -291,13 +370,48 @@ def _spmm_call(x, coef_t, tiles, node_block):
       lift(tiles.sloc), lift(tiles.rloc), lift(coef_t), x)
 
 
+def _sddmm_kernel_res(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref,
+                      dcoef_ref, *, mm_dtype, node_block):
+    t = pl.program_id(0)
+    prec = _mm_precision(mm_dtype)
+    gb = g_ref[pl.ds(iarr[t] * node_block, node_block), :]
+    xb = x_ref[pl.ds(jarr[t] * node_block, node_block), :]
+    a = jnp.dot(_onehot(rloc_ref[0, 0], node_block, mm_dtype),
+                gb.astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    b = jnp.dot(_onehot(sloc_ref[0, 0], node_block, mm_dtype),
+                xb.astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    dcoef_ref[0, 0] = jnp.sum(a * b, axis=1)
+
+
 def _sddmm_call(x, g, tiles, node_block):
     """dcoef[t, k] = dot(g[recv], x[send]) per tile slot."""
     n_tiles, T = tiles.sloc.shape
     H = x.shape[1]
+    V = x.shape[0]
     lift = lambda a: a.reshape(n_tiles, 1, T)
     vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
                             memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    if _resident_ok(V, H, mm_dtype, n_operands=2):
+        full = lambda: pl.BlockSpec((V, H), lambda t, i, j: (0, 0),
+                                    memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[vec_spec, vec_spec, full(), full()],
+            out_specs=vec_spec,
+        )
+        out = pl.pallas_call(
+            functools.partial(_sddmm_kernel_res, mm_dtype=mm_dtype,
+                              node_block=node_block),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 1, T), jnp.float32),
+            interpret=_interpret(),
+        )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
+          x.astype(mm_dtype), g.astype(mm_dtype))
+        return out.reshape(n_tiles, T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -311,7 +425,6 @@ def _sddmm_call(x, g, tiles, node_block):
         ],
         out_specs=vec_spec,
     )
-    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
     out = pl.pallas_call(
         functools.partial(_sddmm_kernel, mm_dtype=mm_dtype),
         grid_spec=grid_spec,

@@ -27,6 +27,7 @@ KEYS = ("test_acc_mean", "test_acc_std", "test_acc_c_mean",
         "test_acc_o_mean", "train_acc_mean", "selected_epoch")
 
 
+@pytest.mark.slow
 def test_fold_parallel_matches_sequential(toy_dataset, capsys):
     seq = train_causal_real(toy_dataset, 4, _cfg(), verbose=False)
     par = train_causal_real_folds(toy_dataset, 4, _cfg(fold_parallel=True),
@@ -35,6 +36,7 @@ def test_fold_parallel_matches_sequential(toy_dataset, capsys):
         assert np.isclose(seq[k], par[k], atol=1e-6), (k, seq[k], par[k])
 
 
+@pytest.mark.slow
 def test_fold_parallel_sharded_over_mesh(toy_dataset):
     # fold axis sharded over the dp mesh axis: numerics unchanged
     par = train_causal_real_folds(toy_dataset, 4, _cfg(fold_parallel=True),

@@ -21,6 +21,7 @@ def _first_batch(graphs, layout, bs=8):
 
 
 @pytest.mark.parametrize("name", MODELS)
+@pytest.mark.slow
 def test_dense_sparse_agree(name, graphs):
     cfg = Config(model=name, hidden=16, layers=2)
     model = get_model(cfg, 0, 3)
@@ -119,6 +120,7 @@ def test_without_attention_ablations(graphs):
 
 
 @pytest.mark.parametrize("name", MODELS)
+@pytest.mark.slow
 def test_bf16_mixed_precision_close_to_f32(name, graphs):
     """cfg.dtype='bfloat16' runs the conv stack in bf16 (f32 BN/pool/readout)
     and stays close to the f32 forward."""

@@ -244,6 +244,7 @@ def test_partitioned_model_forward_matches_single(graphs, model_name):
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_trainer_partitioned_smoke():
     """The user-facing trainer runs edge-partitioned end to end
     (cfg.mesh_dp=2, cfg.mesh_edge=4) and matches the single-device sparse
