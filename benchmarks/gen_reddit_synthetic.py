@@ -39,16 +39,22 @@ def sample_size(rng: np.random.Generator) -> int:
 
 
 def make_qa_thread(rng: np.random.Generator, n: int) -> list[tuple[int, int]]:
-    """Class 1: question/answer thread — root + 2-4 expert hubs, shallow."""
-    k = int(rng.integers(2, 5))
+    """Class 1: question/answer thread — root + expert hubs, shallow.
+
+    Expert count and concentration vary per thread (k=1 weak-hub threads
+    overlap the viral-discussion tail of class 0), so the classes are NOT
+    separable by degree histograms alone — the residual signal is the
+    thread SHAPE (reply depth distribution), which needs message passing."""
+    k = int(rng.integers(1, 5))
+    p_exp = float(rng.uniform(0.35, 0.85))
     edges = [(0, e) for e in range(1, k + 1)]          # experts answer root
-    hubs = list(range(0, k + 1))
+    hubs = list(range(1, k + 1))
     for i in range(k + 1, n):
         u = rng.random()
         if u < 0.15:
             parent = 0                                  # reply to the post
-        elif u < 0.85:
-            parent = int(rng.choice(hubs[1:]))          # reply to an expert
+        elif u < 0.15 + p_exp:
+            parent = int(rng.choice(hubs))              # reply to an expert
         else:
             parent = int(rng.integers(1, i))            # short side chain
         edges.append((parent, i))
@@ -57,10 +63,20 @@ def make_qa_thread(rng: np.random.Generator, n: int) -> list[tuple[int, int]]:
 
 def make_discussion_thread(rng: np.random.Generator,
                            n: int) -> list[tuple[int, int]]:
-    """Class 0: discussion thread — deep reply chains, moderate hubs only."""
+    """Class 0: discussion thread — deep reply chains; ~30% of threads
+    also contain one "viral" post collecting a large share of replies
+    (overlaps the weak-expert tail of class 1)."""
+    viral = -1
+    p_viral = 0.0
+    if rng.random() < 0.3:
+        viral = 0
+        p_viral = float(rng.uniform(0.15, 0.45))
     edges = []
     for i in range(1, n):
-        if rng.random() < 0.3:
+        u = rng.random()
+        if viral >= 0 and u < p_viral and i > viral:
+            parent = viral                              # pile-on replies
+        elif u < p_viral + 0.2:
             parent = int(rng.integers(0, i))            # random earlier post
         else:
             parent = int(rng.integers(max(0, i - 20), i))  # recent post
