@@ -145,6 +145,58 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
     return out
 
 
+def _sparse_pack_workload(n_graphs: int = 256):
+    """REDDIT-scale sparse workload (heavy-tailed thread graphs, no node
+    labels — benchmarks/gen_reddit_synthetic.py distribution) with the
+    deg+odeg10 feature expansion the real REDDIT protocol uses."""
+    from benchmarks.gen_reddit_synthetic import make_graph
+    from cal_tpu.data.feature_expansion import FeatureExpander
+    from cal_tpu.graph import HostGraph
+
+    fx = FeatureExpander(degree=True, onehot_maxdeg=10)
+    rng = np.random.default_rng(0)
+    graphs = []
+    for g in range(n_graphs):
+        n, edges = make_graph(rng, g % 2)
+        e = np.asarray(edges, np.int64).T
+        e = np.concatenate([e, e[::-1]], axis=1)
+        x, e = fx(None, e, n)
+        graphs.append(HostGraph(
+            x=np.asarray(x, np.float32),
+            senders=np.asarray(e[0], np.int32),
+            receivers=np.asarray(e[1], np.int32), y=g % 2))
+    return graphs
+
+
+def bench_sparse_pack(cfg) -> dict:
+    """Sparse-layout causal train step at REDDIT scale — the large-graph
+    production path (budget-packed batching; dense [B, N, N] is impossible
+    at 3800-node graphs).  vs_baseline compares against the SAME workload
+    under the worst-case static budgets (pad_sizes_for), i.e. what the
+    loader shipped before pack mode."""
+    from cal_tpu.data.loader import compute_packed_budgets
+
+    graphs = _sparse_pack_workload()
+    cfg = cfg.replace(layout="sparse")
+    results = {}
+    for tag, budgets in (
+        ("packed", compute_packed_budgets(graphs, cfg.batch_size)),
+        ("worst", compute_budgets(graphs, cfg.batch_size, "sparse")),
+    ):
+        loader = Loader(graphs, cfg.batch_size, shuffle=False,
+                        layout="sparse", budgets=budgets, seed=0)
+        batches = list(loader)
+        live = jax.jit(lambda b: b.edge_mask.sum())
+        edges_per_batch = float(np.sum([float(live(b)) for b in batches])
+                                ) / len(batches)
+        results[tag] = bench_causal_train(
+            "CausalGCN", cfg, batches, edges_per_batch, target_steps=60)
+    out = dict(results["packed"])
+    out["speedup_vs_worst_case_padding"] = (
+        results["packed"]["edges_per_s"] / results["worst"]["edges_per_s"])
+    return out
+
+
 def bench_spmm_tiled(v: int = 8192, e: int = 131072, h: int = 128) -> dict:
     """Block-COO tiled Pallas SpMM at large-graph scale, on the
     TRAINING-relevant basis: fwd + full backward of the sigmoid-weighted
@@ -236,6 +288,12 @@ def bench_spmm_tiled(v: int = 8192, e: int = 131072, h: int = 128) -> dict:
 
 
 def main():
+    if tpu_generation() != "v5e":
+        # the GAT kernel crossover constants (nn/layers.py) and the tile
+        # geometry encode v5e measurements — numbers on other generations
+        # are valid but the dispatch heuristics may be stale
+        print(f"# WARNING: kernel crossover constants were measured on "
+              f"v5e; this is {tpu_generation()}", flush=True)
     cfg, batches, edges_per_batch = _train_workload()
 
     lines = []
@@ -268,6 +326,18 @@ def main():
         # CausalGAT twin)
         "vs_baseline": round(r["edges_per_s"] / gat_baseline, 2)
         if gat_baseline else 1.0,
+    }
+    if "pct_hbm_roofline" in r:
+        line["pct_hbm_roofline"] = r["pct_hbm_roofline"]
+    lines.append(line)
+
+    r = bench_sparse_pack(cfg)
+    line = {
+        "metric": "sparse_pack_train_edges_per_s",
+        "value": round(r["edges_per_s"], 1),
+        "unit": "edges/s",
+        # vs the worst-case-padded loader on the same REDDIT-scale workload
+        "vs_baseline": round(r["speedup_vs_worst_case_padding"], 2),
     }
     if "pct_hbm_roofline" in r:
         line["pct_hbm_roofline"] = r["pct_hbm_roofline"]

@@ -93,10 +93,41 @@ def parse_trace(log_dir: str, n_steps: int):
     return rows, total / 1e3 / n_steps
 
 
+def build_epoch_sparse(model_name: str, dtype: str):
+    """SYNREDDIT-regime workload: budget-packed sparse batches
+    (bench.py _sparse_pack_workload distribution)."""
+    import bench as bench_mod
+    from cal_tpu.data.loader import Loader, compute_packed_budgets
+    from cal_tpu.models.factory import get_model
+    from cal_tpu.train.optim import make_optimizer
+    from cal_tpu.train.steps import (
+        init_state, make_causal_train_epoch, stack_batches)
+    from cal_tpu.utils.config import Config
+
+    cfg = Config(model=model_name, dtype=dtype, layout="sparse")
+    graphs = bench_mod._sparse_pack_workload()
+    budgets = compute_packed_budgets(graphs, cfg.batch_size)
+    loader = Loader(graphs, cfg.batch_size, shuffle=False, layout="sparse",
+                    budgets=budgets, seed=0)
+    batches = list(loader)
+    stacked = stack_batches(batches)
+    model = get_model(cfg, 0, 2)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(batches), 0.0)
+    state = init_state(model, tx, batches[0], jax.random.PRNGKey(0))
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    live = jax.jit(lambda b: b.edge_mask.sum())
+    edges = float(np.mean([float(live(b)) for b in batches]))
+    return epoch_fn, state, stacked, jax.random.PRNGKey(0), edges
+
+
 def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "CausalGAT"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    epoch_fn, state, stacked, rng, edges = build_epoch(model_name, dtype)
+    if len(sys.argv) > 3 and sys.argv[3] == "sparse":
+        epoch_fn, state, stacked, rng, edges = build_epoch_sparse(
+            model_name, dtype)
+    else:
+        epoch_fn, state, stacked, rng, edges = build_epoch(model_name, dtype)
     # warm up / compile outside the trace
     state, m = epoch_fn(state, stacked, rng)
     float(m["loss"])

@@ -146,27 +146,33 @@ class Loader:
             # re-draws the permutation in the rare tail where a shuffle packs
             # worse than every simulation.
             sim = np.random.default_rng(seed ^ 0x5EED)
-            counts = [len(self._pack_chunks(np.arange(len(self.graphs))))]
+            self._sim_chunkings = [
+                self._pack_chunks(np.arange(len(self.graphs)))]
             for _ in range(16):
-                counts.append(len(self._pack_chunks(
-                    sim.permutation(len(self.graphs)))))
+                self._sim_chunkings.append(self._pack_chunks(
+                    sim.permutation(len(self.graphs))))
+            counts = [len(c) for c in self._sim_chunkings]
             self._steps_budget = max(counts) + 1
             # pad batches are optimizer no-ops (train/steps.py _gate_state):
             # LR schedules should count REAL steps, not the padded budget
             self._sched_steps = max(int(round(float(np.mean(counts)))), 1)
         if spmm_tiles == "auto":
-            # The tiled kernel wins in the large-graph regime (measured
-            # 1.64x at V=8192/E=131072, benchmarks/sweep_spmm.py) but its
-            # fixed per-tile MXU cost loses on small batches, where XLA's
-            # segment ops are already cheap; and at REDDIT-style sparsity
-            # (mean degree ~2, banded block pairs with ~65 edges each) the
-            # 512-slot tiles run nearly empty — the MXU work inflates by
-            # the reciprocal of the fill factor, so the kernel only
-            # dispatches when the worst-case fill estimate clears 0.35
-            # (the V=8192/E=131k shape that measures the 1.32x win
-            # estimates 0.46; SYNREDDIT-style sparsity estimates 0.11).
-            spmm_tiles = (self.budgets["node_budget"] >= 2048
-                          and self._tile_fill_estimate() >= 0.35)
+            # The tiled kernel wins when its slots run reasonably full
+            # (each slot costs fixed MXU work); on small batches XLA's
+            # segment ops are already cheap.  Pack mode measures the REAL
+            # tile count on simulated epochs (count_tiles — the worst-case
+            # banded bound is far too pessimistic for graph-contiguous
+            # batches, r4); the non-pack estimate keeps the worst-case
+            # bound.  Threshold 0.25: SYNREDDIT measures ~0.34 real fill
+            # and the XLA sparse step there is 51 ms of scalar gathers
+            # (benchmarks/profile_step ... sparse), so moderately-filled
+            # tiles win big; the near-empty regime stays off.
+            if self.budgets["node_budget"] < 2048:
+                spmm_tiles = False
+            elif self.pack:
+                spmm_tiles = self._sim_tile_fill() >= 0.25
+            else:
+                spmm_tiles = self._tile_fill_estimate() >= 0.35
         self.spmm_tiles = bool(spmm_tiles) and layout == "sparse"
         if self.spmm_tiles:
             # Block-COO plans need the node budget on a node-block boundary
@@ -177,10 +183,52 @@ class Loader:
             self._tile_edges = _ps.TILE_EDGES
             self.budgets["node_budget"] = _round_up(
                 self.budgets["node_budget"], self._node_block)
-            self._tile_budget = _ps.tile_budget_for(
-                self.budgets["edge_budget"], self.budgets["node_budget"],
-                self._node_block, self._tile_edges,
-                max_graph_nodes=self.budgets.get("max_graph_nodes"))
+            if self.pack:
+                # data-driven budget: max real tiles over the simulated
+                # chunkings (+slack); _chunks() re-draws the shuffle in
+                # the rare tail where an epoch packs worse
+                self._tile_budget = self._sim_tile_budget() + 16
+            else:
+                self._tile_budget = _ps.tile_budget_for(
+                    self.budgets["edge_budget"], self.budgets["node_budget"],
+                    self._node_block, self._tile_edges,
+                    max_graph_nodes=self.budgets.get("max_graph_nodes"))
+
+    def _chunk_tile_count(self, idx: np.ndarray) -> int:
+        """Real tile count of one packed chunk's edge structure (incl. the
+        padded-edge run that targets the last node slot)."""
+        from cal_tpu.ops import pallas_spmm as _ps
+
+        nbud = _round_up(self.budgets["node_budget"], _ps.NODE_BLOCK)
+        if idx.size:
+            ns = self._sizes_n[idx]
+            offs = np.concatenate([[0], np.cumsum(ns[:-1])])
+            s = np.concatenate([self.graphs[j].senders + o
+                                for j, o in zip(idx, offs)])
+            r = np.concatenate([self.graphs[j].receivers + o
+                                for j, o in zip(idx, offs)])
+        else:
+            s = r = np.zeros((0,), np.int64)
+        pad = self.budgets["edge_budget"] - s.shape[0]
+        n_pad_tiles = -(-pad // _ps.TILE_EDGES) + 1 if pad > 0 else 0
+        return _ps.count_tiles(s, r, nbud) + n_pad_tiles
+
+    def _sim_tile_budget(self) -> int:
+        """Max real tile count over the simulated pack chunkings."""
+        if not hasattr(self, "_sim_tiles_max"):
+            self._sim_tiles_max = max(
+                self._chunk_tile_count(c)
+                for chunks in self._sim_chunkings[:6] for c in chunks)
+        return self._sim_tiles_max
+
+    def _sim_tile_fill(self) -> float:
+        """Expected live-edge slot fill from the SIMULATED tile counts."""
+        from cal_tpu.ops import pallas_spmm as _ps
+
+        mean_live = (sum(int(self._sizes_e[c].sum())
+                         for c in self._sim_chunkings[0])
+                     / max(len(self._sim_chunkings[0]), 1))
+        return mean_live / (self._sim_tile_budget() * _ps.TILE_EDGES)
 
     def _tile_fill_estimate(self) -> float:
         """Expected live-edge fraction of the block-COO tile slots."""
@@ -321,14 +369,18 @@ class Loader:
                 if self.shuffle:
                     order = self.rng.permutation(len(self.graphs))
                 chunks = self._pack_chunks(order)
-                if len(chunks) <= self._steps_budget:
+                ok = len(chunks) <= self._steps_budget
+                if ok and self.spmm_tiles:
+                    ok = all(self._chunk_tile_count(c) <= self._tile_budget
+                             for c in chunks)
+                if ok:
                     break
                 if not self.shuffle:  # identity order is in the simulation
                     raise AssertionError("unreachable: identity pack grew")
             else:
                 raise RuntimeError(
-                    "budget packing exceeded steps budget 32 shuffles in a "
-                    "row — budgets too tight for this dataset")
+                    "budget packing exceeded steps/tile budget 32 shuffles "
+                    "in a row — budgets too tight for this dataset")
             pad = self._steps_budget - len(chunks)
             return chunks + [np.empty((0,), np.int64)] * pad
         if self.shuffle:

@@ -50,7 +50,9 @@ _BIG_NEG = -1e30
 
 
 def _leaky(x):
-    return jnp.where(x >= 0, x, NEG_SLOPE * x)
+    # max(x, 0.2x) == leaky_relu(x) for slope<1: one mul + one max on the
+    # VPU instead of cmp+mul+select — every op here runs over N^2 cells
+    return jnp.maximum(x, NEG_SLOPE * x)
 
 
 def _eye(n):
@@ -110,15 +112,24 @@ def _fwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref,
             mh = jnp.max(s, axis=1, keepdims=True)             # [N, 1]
             num = jnp.exp(s - mh) * ceff
             den = jnp.sum(num, axis=1, keepdims=True)          # [N, 1]
-            # reciprocal-multiply: an [N, N] divide is a multi-pass VPU op
+            # reciprocal-multiply: an [N, N] divide is a multi-pass VPU op.
+            # (Folding 1/den out of the matmul operand entirely — num @ xh
+            # then a row scale — was tried r4 and REVERTED: the MXU rounds
+            # operands to bf16 at default precision, and the unnormalized
+            # num operand measured 6x worse f32 parity, 3.2e-3 vs 5.7e-4.)
             alpha = num * (1.0 / den)
             if dropout > 0.0:
+                # dropout keeps a bare SELECT in the N^2 domain; the
+                # keep-scale 1/(1-p) is scalar and rides the output scale
                 keep = _dropout_keep((n, n), dropout)
-                alpha = jnp.where(keep, alpha * (1.0 / (1.0 - dropout)),
-                                  0.0)
+                alpha = jnp.where(keep, alpha, 0.0)
+                scale = 1.0 / (1.0 - dropout)
+            else:
+                scale = None
             xh_h = xh_ref[b][:, h * d:(h + 1) * d].astype(jnp.float32)
-            o_ref[b, :, h * d:(h + 1) * d] = jnp.dot(
-                alpha, xh_h, preferred_element_type=jnp.float32)
+            acc = jnp.dot(alpha, xh_h, preferred_element_type=jnp.float32)
+            o_ref[b, :, h * d:(h + 1) * d] = (
+                acc if scale is None else scale * acc)
             m_ref[b, :, h:h + 1] = mh
             den_ref[b, :, h:h + 1] = den
 
@@ -137,6 +148,11 @@ def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
         allowed = ceff > 0
         ti = ti_ref[b].astype(jnp.float32)
         tjt = tjt_ref[b].astype(jnp.float32)
+        # the dropout keep-scale 1/(1-p) is a SCALAR factor: every grad
+        # below is linear in it, so it is factored out of the N^2 domain
+        # and applied to the [N, d] / [N, heads] outputs instead (the
+        # select keeps the bare keep-mask — saves two N^2 VPU passes)
+        c = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
         for h in range(heads):
             pre = ti[:, h:h + 1] + tjt[h:h + 1, :]
             lpre = jnp.where(allowed, _leaky(pre), _BIG_NEG)   # masked (see
@@ -145,30 +161,32 @@ def _bwd_kernel(seed_ref, ti_ref, tjt_ref, counts_ref, xh_ref, m_ref,
             alpha = jnp.exp(lpre - mh) * (ceff * (1.0 / den))  # pre-dropout
             if dropout > 0.0:
                 keep = _dropout_keep((n, n), dropout)          # fwd's bits
-                scale = jnp.where(keep, 1.0 / (1.0 - dropout), 0.0)
-                alpha_drop = alpha * scale
+                alpha_drop = jnp.where(keep, alpha, 0.0)
             else:
-                scale = None
+                keep = None
                 alpha_drop = alpha
             xh_h = xh_ref[b][:, h * d:(h + 1) * d].astype(jnp.float32)
             g_h = g_ref[b][:, h * d:(h + 1) * d]
-            # dXh from the message matmul: alpha_drop^T @ g
-            dxh_ref[b, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            # dXh from the message matmul: c * alpha_drop^T @ g
+            dxh = jax.lax.dot_general(
                 alpha_drop, g_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # dAlpha_drop = g @ xh^T
+            dxh_ref[b, :, h * d:(h + 1) * d] = c * dxh if c != 1.0 else dxh
+            # dAlpha_drop (un-scaled) = keep-masked g @ xh^T
             dalpha = jax.lax.dot_general(
                 g_h, xh_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if scale is not None:
-                dalpha = dalpha * scale
+            if keep is not None:
+                dalpha = jnp.where(keep, dalpha, 0.0)
             # softmax backward (rows): dS = alpha*(dalpha - sum dalpha*alpha)
             t_sum = jnp.sum(dalpha * alpha, axis=1, keepdims=True)
             ds = alpha * (dalpha - t_sum)      # 0 wherever ceff == 0
             dpre = jnp.where(pre >= 0, ds, NEG_SLOPE * ds)
-            dti_ref[b, :, h:h + 1] = jnp.sum(dpre, axis=1, keepdims=True)
+            dti = jnp.sum(dpre, axis=1, keepdims=True)
+            dti_ref[b, :, h:h + 1] = c * dti if c != 1.0 else dti
             # sender-half grad in TRANSPOSED layout: a row store, no .T
-            dtjt_ref[b, h:h + 1, :] = jnp.sum(dpre, axis=0, keepdims=True)
+            dtjt = jnp.sum(dpre, axis=0, keepdims=True)
+            dtjt_ref[b, h:h + 1, :] = c * dtjt if c != 1.0 else dtjt
 
 
 def _graphs_per_block(batch: int, n: int) -> int:

@@ -98,6 +98,67 @@ class SpmmTiles:
     rglb: jax.Array | None = None
 
 
+def _tile_structure(senders, receivers, num_nodes, node_block, tile_edges):
+    """Shared (vectorized) tile-geometry computation.
+
+    Returns (order, rblk, sblk, tile_of_edge, slot_of_edge, tile_i,
+    tile_j, tile_first, n_real) where tiles are numbered in the final plan
+    order: runs sorted by (receiver-block, sender-block), split into
+    ceil(run/T) tiles, with one empty tile inserted for every receiver
+    block that has no edges (it zero-initialises the out block)."""
+    E = senders.shape[0]
+    nb = num_nodes // node_block
+    rblk = receivers // node_block
+    sblk = senders // node_block
+    order = np.lexsort((sblk, rblk))
+    key = rblk[order] * np.int64(nb) + sblk[order]
+    if E:
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(key)) + 1])       # run starts
+    else:
+        starts = np.zeros((0,), np.int64)
+    run_len = np.diff(np.concatenate([starts, [E]]))
+    run_i = (key[starts] // nb).astype(np.int64)
+    run_j = (key[starts] % nb).astype(np.int64)
+    run_tiles = -(-run_len // tile_edges)                  # ceil, >= 1
+
+    # receiver blocks with no runs get one empty tile each
+    tiles_per_i = np.bincount(run_i, weights=run_tiles, minlength=nb
+                              ).astype(np.int64)
+    empty_i = tiles_per_i == 0
+    tiles_per_i[empty_i] = 1
+    i_base = np.concatenate([[0], np.cumsum(tiles_per_i)])  # per-i tile base
+    n_real = int(i_base[-1])
+
+    # global tile index of each run's first tile: i_base[i] + within-i offset
+    within = np.zeros_like(run_tiles)
+    if run_i.size:
+        # runs are sorted by i: cumulative tiles within each i
+        cum = np.cumsum(run_tiles) - run_tiles
+        i_first_run = np.searchsorted(run_i, run_i)         # first run of i
+        within = cum - cum[i_first_run]
+    run_tile_base = i_base[run_i] + within
+
+    # per-edge (ordered) tile + slot
+    edge_run = np.repeat(np.arange(run_len.size), run_len)
+    pos = np.arange(E) - np.repeat(starts, run_len)
+    tile_of_edge = run_tile_base[edge_run] + pos // tile_edges
+    slot_of_edge = pos % tile_edges
+
+    tile_i = np.zeros(n_real, np.int64)
+    tile_j = np.zeros(n_real, np.int64)
+    tile_first = np.zeros(n_real, np.int64)
+    tile_first[i_base[:-1]] = 1                             # first per i
+    tile_i[:] = np.repeat(np.arange(nb), tiles_per_i)
+    # sender block per tile: scatter from runs (empty tiles keep j=0)
+    rt = np.repeat(run_tile_base, run_tiles) + np.concatenate(
+        [np.arange(t) for t in run_tiles]) if run_tiles.size else (
+        np.zeros(0, np.int64))
+    tile_j[rt] = np.repeat(run_j, run_tiles)
+    return (order, rblk, sblk, tile_of_edge, slot_of_edge, tile_i, tile_j,
+            tile_first, n_real)
+
+
 def build_tiles(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -109,14 +170,16 @@ def build_tiles(
     device: bool = True,
     edge_mask=None,
 ) -> SpmmTiles:
-    """Host-side (numpy) tile packing.  Structure-only: weights/masks enter
-    per-step through ``coef`` so one plan serves every step on a batch.
-    ``device=False`` keeps the plan as NumPy (for host-stacked epoch batches
-    that are shipped with one transfer per leaf).  ``edge_mask`` (optional
-    [E] bool) marks dead/padding edges: their slots keep zero-contributing
-    local indices but get the sentinel global id, so the tile-order
-    coefficient chain (gcn_aggregate_sparse_sigmoid_pallas) zeroes them
-    without ever consulting an [E]-order mask."""
+    """Host-side (numpy, fully vectorized — r4: the per-tile python loop
+    cost seconds per REDDIT-scale epoch) tile packing.  Structure-only:
+    weights/masks enter per-step through ``coef`` so one plan serves every
+    step on a batch.  ``device=False`` keeps the plan as NumPy (for
+    host-stacked epoch batches that are shipped with one transfer per
+    leaf).  ``edge_mask`` (optional [E] bool) marks dead/padding edges:
+    their slots keep zero-contributing local indices but get the sentinel
+    global id, so the tile-order coefficient chain
+    (gcn_aggregate_sparse_sigmoid_pallas) zeroes them without ever
+    consulting an [E]-order mask."""
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     E = senders.shape[0]
@@ -125,69 +188,73 @@ def build_tiles(
     assert num_nodes % node_block == 0, (num_nodes, node_block)
     nb = num_nodes // node_block
 
-    rblk = receivers // node_block
-    sblk = senders // node_block
-    order = np.lexsort((sblk, rblk))
-    key = rblk[order] * nb + sblk[order]
-    run_starts = np.concatenate(
-        [[0], np.flatnonzero(np.diff(key)) + 1, [E]]) if E else np.array([0, 0])
+    (order, rblk, sblk, tile_of_edge, slot_of_edge, tile_i, tile_j,
+     tile_first, n_real) = _tile_structure(
+        senders, receivers, num_nodes, node_block, tile_edges)
 
-    per_i: dict[int, list[tuple[int, np.ndarray]]] = {i: [] for i in range(nb)}
-    for a, b in zip(run_starts[:-1], run_starts[1:]):
-        if a == b:
-            continue
-        edges = order[a:b]
-        i, j = int(rblk[edges[0]]), int(sblk[edges[0]])
-        for c in range(0, len(edges), tile_edges):
-            per_i[i].append((j, edges[c:c + tile_edges]))
-
-    iblk, jblk, first, sloc, rloc, perm = [], [], [], [], [], []
-    sglb, rglb = [], []
-
-    def emit(i, j, edges, is_first):
-        k = len(edges)
-        s = np.zeros(tile_edges, np.int32)
-        r = np.zeros(tile_edges, np.int32)
-        sg = np.full(tile_edges, num_nodes, np.int32)
-        rg = np.full(tile_edges, num_nodes, np.int32)
-        p = np.full(tile_edges, E, np.int32)
-        if k:
-            live = mask[edges]
-            s[:k] = senders[edges] - j * node_block
-            r[:k] = receivers[edges] - i * node_block
-            sg[:k] = np.where(live, senders[edges], num_nodes)
-            rg[:k] = np.where(live, receivers[edges], num_nodes)
-            p[:k] = edges
-        iblk.append(i); jblk.append(j); first.append(int(is_first))
-        sloc.append(s); rloc.append(r); perm.append(p)
-        sglb.append(sg); rglb.append(rg)
-
-    for i in range(nb):
-        tiles_i = per_i[i] or [(0, np.empty(0, np.int64))]
-        for t, (j, edges) in enumerate(tiles_i):
-            emit(i, j, edges, t == 0)
-
-    n_real = len(iblk)
     if tile_budget is None:
         tile_budget = n_real
     assert n_real <= tile_budget, (
         f"tile plan needs {n_real} tiles > budget {tile_budget}")
-    for _ in range(tile_budget - n_real):
-        emit(nb - 1, 0, np.empty(0, np.int64), False)  # adds zero, no reinit
+    n = tile_budget
+    T = tile_edges
+
+    iblk = np.full(n, nb - 1, np.int32)        # budget-pad tiles: last block
+    jblk = np.zeros(n, np.int32)
+    first = np.zeros(n, np.int32)
+    iblk[:n_real] = tile_i
+    jblk[:n_real] = tile_j
+    first[:n_real] = tile_first
+
+    sloc = np.zeros((n, T), np.int32)
+    rloc = np.zeros((n, T), np.int32)
+    perm = np.full((n, T), E, np.int32)
+    sglb = np.full((n, T), num_nodes, np.int32)
+    rglb = np.full((n, T), num_nodes, np.int32)
+    if E:
+        flat = tile_of_edge * T + slot_of_edge
+        se, re_ = senders[order], receivers[order]
+        live = mask[order]
+        sloc.reshape(-1)[flat] = se - sblk[order] * node_block
+        rloc.reshape(-1)[flat] = re_ - rblk[order] * node_block
+        perm.reshape(-1)[flat] = order
+        sglb.reshape(-1)[flat] = np.where(live, se, num_nodes)
+        rglb.reshape(-1)[flat] = np.where(live, re_, num_nodes)
 
     conv = jnp.asarray if device else np.asarray
     return SpmmTiles(
-        iblk=conv(np.asarray(iblk, np.int32)),
-        jblk=conv(np.asarray(jblk, np.int32)),
-        first=conv(np.asarray(first, np.int32)),
-        sloc=conv(np.stack(sloc)),
-        rloc=conv(np.stack(rloc)),
-        perm=conv(np.stack(perm)),
+        iblk=conv(iblk),
+        jblk=conv(jblk),
+        first=conv(first),
+        sloc=conv(sloc),
+        rloc=conv(rloc),
+        perm=conv(perm),
         node_block=node_block,
         precision=precision,
-        sglb=conv(np.stack(sglb)),
-        rglb=conv(np.stack(rglb)),
+        sglb=conv(sglb),
+        rglb=conv(rglb),
     )
+
+
+def count_tiles(senders, receivers, num_nodes,
+                node_block: int = NODE_BLOCK,
+                tile_edges: int = TILE_EDGES) -> int:
+    """Real tile count of a plan WITHOUT building it (cheap: one lexsort).
+    Used by the loader to size data-driven tile budgets in pack mode."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    nb = num_nodes // node_block
+    rblk = receivers // node_block
+    sblk = senders // node_block
+    key = np.sort(rblk * np.int64(nb) + sblk)
+    if key.size == 0:
+        return nb
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(key)) + 1])
+    run_len = np.diff(np.concatenate([starts, [key.size]]))
+    run_i = key[starts] // nb
+    tiles = int(np.sum(-(-run_len // tile_edges)))
+    # + one empty tile per receiver block with no edges
+    return tiles + nb - int(np.unique(run_i).size)
 
 
 def tile_budget_for(num_edges: int, num_nodes: int,
@@ -543,27 +610,71 @@ def _sddmm_mh_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref,
         precision=_mm_precision(jnp.float32))
 
 
+def _spmm_mh_kernel_res(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
+                        x_ref, out_ref, *, mm_dtype, heads, node_block):
+    del first
+    t = pl.program_id(0)
+    prec = _mm_precision(mm_dtype)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    xb = x_ref[pl.ds(jarr[t] * node_block, node_block), :]
+    msg = jnp.dot(oh_s, xb.astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    bc = _bcast_matrix(heads, x_ref.shape[1], jnp.float32)
+    cexp = jnp.dot(coef_ref[0], bc, preferred_element_type=jnp.float32,
+                   precision=_mm_precision(jnp.float32))
+    msg = msg * cexp
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    out_ref[pl.ds(iarr[t] * node_block, node_block), :] += upd
+
+
 def _spmm_mh_call(x, coef_t, tiles, node_block, heads):
     n_tiles, T = tiles.sloc.shape
     H = x.shape[1]
+    V = x.shape[0]
     lift = lambda a: a.reshape(n_tiles, 1, T)
     vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
                             memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((1, T, heads), lambda t, i, j, f: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    if _resident_ok(V, H, mm_dtype):
+        full = lambda: pl.BlockSpec((V, H), lambda t, i, j, f: (0, 0),
+                                    memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_tiles,),
+            in_specs=[vec_spec, vec_spec, coef_spec, full()],
+            out_specs=full(),
+        )
+        return pl.pallas_call(
+            functools.partial(_spmm_mh_kernel_res, mm_dtype=mm_dtype,
+                              heads=heads, node_block=node_block),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            interpret=_interpret(),
+        )(tiles.iblk, tiles.jblk, tiles.first,
+          lift(tiles.sloc), lift(tiles.rloc), coef_t, x.astype(mm_dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             vec_spec,
             vec_spec,
-            pl.BlockSpec((1, T, heads), lambda t, i, j, f: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            coef_spec,
             pl.BlockSpec((node_block, H), lambda t, i, j, f: (j[t], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((node_block, H), lambda t, i, j, f: (i[t], 0),
                                memory_space=pltpu.VMEM),
     )
-    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
     return pl.pallas_call(
         functools.partial(_spmm_mh_kernel, mm_dtype=mm_dtype, heads=heads),
         grid_spec=grid_spec,

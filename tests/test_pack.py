@@ -134,3 +134,33 @@ def test_pack_trains_end_to_end(heavy_graphs):
     out = train_causal_syn(heavy_graphs[:32], heavy_graphs[32:38],
                            heavy_graphs[38:], cfg, verbose=False)
     assert np.isfinite(out["best_val_acc"])
+
+
+def test_pack_with_tiles_matches_plain(heavy_graphs):
+    """Budget-packed batching + block-COO tile plans (the SYNREDDIT
+    production combination, r4): forward/losses must match the same
+    packed batches without tiles."""
+    from cal_tpu.train.steps import make_causal_eval_step
+
+    cfg = Config(model="CausalGCN", hidden=16, layers=2, layout="sparse",
+                 batch_size=8)
+    budgets = compute_packed_budgets(heavy_graphs, 8)
+    l_plain = Loader(heavy_graphs, 8, shuffle=False, layout="sparse",
+                     budgets=dict(budgets), spmm_tiles=False)
+    l_tiled = Loader(heavy_graphs, 8, shuffle=False, layout="sparse",
+                     budgets=dict(budgets), spmm_tiles=True)
+    assert l_tiled.spmm_tiles
+    assert len(l_plain) == len(l_tiled)
+    model = get_model(cfg, 0, 3)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, 2, l_plain.schedule_steps, 0.0)
+    rng = jax.random.PRNGKey(0)
+    b0 = next(iter(l_plain))
+    state = init_state(model, tx, b0, rng)
+    ev = make_causal_eval_step(model, False)
+    for bp, bt in zip(l_plain, l_tiled):
+        assert (bt.tiles is not None) or int(
+            np.asarray(bt.graph_mask).sum()) >= 0
+        mp = ev(state, bp, rng)
+        mt = ev(state, bt, rng)
+        assert int(mp["n"]) == int(mt["n"])
+        assert int(mp["correct_o"]) == int(mt["correct_o"])

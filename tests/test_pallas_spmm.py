@@ -388,3 +388,28 @@ def test_tile_gather_scatter_roundtrip(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(outb)[0], want_sb,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resident_matches_streaming(rng, monkeypatch):
+    """The VMEM-resident SpMM/SDDMM variants (r4: whole x pinned in VMEM,
+    sender blocks dynamic-sliced) must match the streaming path exactly."""
+    from cal_tpu.ops import pallas_spmm as ps
+
+    x, senders, receivers, edge_mask, w = _workload(rng)
+    V = x.shape[0]
+    coef = jnp.where(edge_mask, w, 0.0)
+    tf, tb = _tiles(senders, receivers, V)
+    coef_ext = jnp.concatenate([coef, jnp.zeros(1)])
+    assert ps._resident_ok(V, x.shape[1], jnp.float32)
+    f = lambda x, c: (coo_spmm(x, c, tf, tb, NB) ** 2).sum()
+    out_res = coo_spmm(x, coef_ext, tf, tb, NB)
+    g_res = jax.grad(f, argnums=(0, 1))(x, coef_ext)
+    monkeypatch.setattr(ps, "_RESIDENT_VMEM_BYTES", 0)
+    assert not ps._resident_ok(V, x.shape[1], jnp.float32)
+    out_str = coo_spmm(x, coef_ext, tf, tb, NB)
+    g_str = jax.grad(f, argnums=(0, 1))(x, coef_ext)
+    np.testing.assert_allclose(np.asarray(out_res), np.asarray(out_str),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(g_res, g_str):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
