@@ -160,7 +160,7 @@ def _sparse_pack_workload(n_graphs: int = 256):
         n, edges = make_graph(rng, g % 2)
         e = np.asarray(edges, np.int64).T
         e = np.concatenate([e, e[::-1]], axis=1)
-        x, e = fx(None, e, n)
+        x, e, _ = fx(None, e, n)
         graphs.append(HostGraph(
             x=np.asarray(x, np.float32),
             senders=np.asarray(e[0], np.int32),

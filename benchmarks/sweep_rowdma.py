@@ -129,10 +129,10 @@ def timed(fn, x, idx, iters):
     return time.perf_counter() - t0
 
 
-def rate(fn, x, idx, label):
-    t_small = timed(fn, x, idx, 50)
-    t_big = timed(fn, x, idx, 150)
-    per_iter = (t_big - t_small) / 100
+def rate(fn, x, idx, label, iters=(100, 500)):
+    t_small = timed(fn, x, idx, iters[0])
+    t_big = timed(fn, x, idx, iters[1])
+    per_iter = (t_big - t_small) / (iters[1] - iters[0])
     gb = E * H * 4 / 1e9
     print(f"{label:>24}: {per_iter * 1e3:7.3f} ms/gather  "
           f"{gb / per_iter:7.1f} GB/s useful")

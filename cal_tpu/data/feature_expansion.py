@@ -14,9 +14,13 @@ Behavioral parity notes (reference file:line):
 * ``remove_edges`` replaces the edge list after feature computation:
   ``"nonself"`` keeps only self-loops, ``"all"`` removes everything
   (feature_expansion.py:61-67);
-* ``group_degree`` super-nodes are accepted for CLI parity but not
-  materialized — the reference output (``data.xg``) is consumed only by the
-  non-CAL ResGCN model, never by CAL's trainers.
+* ``group_degree`` super-nodes (feature_expansion.py:69-92): nodes with
+  degree k (k = 1..group_degree) are collapsed into one super-node row
+  ``[count ‖ mean(features)]`` each; surviving nodes are those with
+  degree > group_degree (degree-0 nodes are dropped — the reference's
+  eq/gt filter chain never selects them); ``xg`` is the [1, N*(1+F)]
+  flattened super-node block.  Consumed only by the reference's non-CAL
+  ResGCN, but materialized here for full grammar parity.
 """
 from __future__ import annotations
 
@@ -56,7 +60,10 @@ class FeatureExpander:
     # -- public API -----------------------------------------------------
     def transform(
         self, x: Optional[np.ndarray], edge_index: np.ndarray, num_nodes: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Returns ``(x, edge_index, xg)``; ``xg`` is None unless
+        ``group_degree > 0`` (then x shrinks to the surviving nodes and xg
+        holds the flattened super-node block, reference :69-92)."""
         if x is None:  # feature_expansion.py:41-42
             x = np.ones((num_nodes, 1), np.float32)
         x = np.asarray(x, np.float32)
@@ -85,10 +92,40 @@ class FeatureExpander:
                 loop = np.arange(num_nodes, dtype=np.int64)
                 edge_index = np.stack([loop, loop])
 
-        return x.astype(np.float32), edge_index
+        xg = None
+        if self.group_degree > 0:  # feature_expansion.py:69-92
+            assert self.remove_edges == "all", "remove all edges"
+            x, xg = self._group_by_degree(x, deg.reshape(-1))
+        return x.astype(np.float32), edge_index, xg
 
     # make the instance itself usable as a pre_transform callable
     __call__ = transform
+
+    def _group_by_degree(self, x, deg_base):
+        """Collapse degree-k nodes (k=1..group_degree) into mean super-nodes
+        (reference feature_expansion.py:69-92).  Quirks kept: degree-0 nodes
+        are dropped (the eq/gt filter chain never selects them); an empty
+        group contributes ``[count=0 ‖ zeros]``; if no node survives, x
+        becomes a single zero row."""
+        x_base = x
+        super_nodes = []
+        zero_row = np.zeros((1, x.shape[1]), np.float32)
+        for k in range(1, self.group_degree + 1):
+            eq = deg_base == k
+            gt = deg_base > k
+            x_to_group = x_base[eq]
+            x_base = x_base[gt]
+            deg_base = deg_base[gt]
+            count = np.full((1, 1), x_to_group.shape[0], np.float32)
+            if x_to_group.shape[0] == 0:
+                super_nodes.append(np.concatenate([count, zero_row], axis=1))
+            else:
+                super_nodes.append(np.concatenate(
+                    [count, x_to_group.mean(0, keepdims=True)], axis=1))
+        if x_base.shape[0] == 0:
+            x_base = zero_row
+        xg = np.concatenate(super_nodes, axis=0).reshape(1, -1)
+        return x_base.astype(np.float32), xg.astype(np.float32)
 
     # -- features ---------------------------------------------------------
     def _compute_degree(self, edge_index, num_nodes):

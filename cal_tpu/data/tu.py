@@ -28,7 +28,7 @@ from cal_tpu.graph import HostGraph
 # Same source as the reference (tu_dataset.py:12-13).
 TU_URL = "https://ls11-www.cs.tu-dortmund.de/people/morris/graphkerneldatasets"
 
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3  # v3: per-graph xg (group_degree super-nodes)
 
 
 def _read_numeric(path: str, dtype) -> np.ndarray:
@@ -202,8 +202,9 @@ class TUDataset(Sequence):
         for x, e, y in split_graphs(d, use_node_attr=use_node_attr):
             n = x.shape[0] if x is not None else (
                 int(e.max()) + 1 if e.size else 1)
+            xg = None
             if pre_transform is not None:
-                x, e = pre_transform(x, e, n)
+                x, e, xg = pre_transform(x, e, n)
             elif x is None:
                 x = np.ones((n, 1), np.float32)
             graphs.append(HostGraph(
@@ -211,6 +212,7 @@ class TUDataset(Sequence):
                 senders=np.asarray(e[0], np.int32),
                 receivers=np.asarray(e[1], np.int32),
                 y=y,
+                xg=xg,
             ))
         self._graphs = graphs
 
@@ -227,7 +229,7 @@ class TUDataset(Sequence):
             "name": self.name,
             "feat_str": self.feat_str,
             "num_classes": self.num_classes,
-            "graphs": [(g.x, g.senders, g.receivers, g.y)
+            "graphs": [(g.x, g.senders, g.receivers, g.y, g.xg)
                        for g in self._graphs],
         }
         with open(self._cache_path, "wb") as f:
@@ -247,8 +249,8 @@ class TUDataset(Sequence):
                 or payload.get("feat_str") != self.feat_str):
             return False
         self.num_classes = payload["num_classes"]
-        self._graphs = [HostGraph(x=x, senders=s, receivers=r, y=y)
-                        for x, s, r, y in payload["graphs"]]
+        self._graphs = [HostGraph(x=x, senders=s, receivers=r, y=y, xg=xg)
+                        for x, s, r, y, xg in payload["graphs"]]
         return True
 
     # -- sequence API -------------------------------------------------------

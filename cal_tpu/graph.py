@@ -387,6 +387,11 @@ class HostGraph:
     senders: np.ndarray    # [e] int (directed; undirected graphs store both dirs)
     receivers: np.ndarray  # [e] int
     y: int
+    # degree-grouped super-node features from FeatureExpander's ``groupd<N>``
+    # production (reference feature_expansion.py:69-92): [1, N*(1+feat)] or
+    # None.  Consumed by the reference's non-CAL ResGCN only — carried for
+    # feature parity, no CAL model reads it.
+    xg: "np.ndarray | None" = None
 
     @property
     def num_nodes(self) -> int:

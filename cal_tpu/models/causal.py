@@ -80,8 +80,15 @@ class CausalGNN(nn.Module):
                                      # BN stats / pooling / readouts stay f32)
 
     @nn.compact
-    def __call__(self, g, eval_random: bool = True, train: bool = False):
-        """Returns (c_log_probs, o_log_probs, co_log_probs), each [G, C]."""
+    def __call__(self, g, eval_random: bool = True, train: bool = False,
+                 train_type: str = "base"):
+        """Returns (c_log_probs, o_log_probs, co_log_probs), each [G, C].
+
+        ``train_type="irm"`` (honored by the 'gin' backbone only, matching
+        the reference — CausalGIN.forward model.py:234,289-291) makes the
+        o-branch return ``(pre_log_softmax_logits, log_probs)`` instead of
+        log_probs: the vestigial IRM hook, never triggered by the trainers.
+        """
         ura = not train  # BN use_running_average
         dense = isinstance(g, DenseGraphBatch)
         if dense and self.dtype != jnp.float32:
@@ -225,7 +232,8 @@ class CausalGNN(nn.Module):
             xc, gm, ura
         )
         xo_logis = ReadoutMLP(self.hidden, self.num_classes, name="objects_readout")(
-            xo, gm, ura
+            xo, gm, ura,
+            return_features=(train_type == "irm" and self.backbone == "gin"),
         )
 
         # --- intervention branch (model.py:145-164) ---

@@ -309,10 +309,16 @@ class ReadoutMLP(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, x, mask=None, use_running_average: bool = False):
+    def __call__(self, x, mask=None, use_running_average: bool = False,
+                 return_features: bool = False):
         x = MaskedBatchNorm(name="bn1")(x, mask, use_running_average)
         x = TorchLinear(self.hidden, name="fc1")(x)
         x = jax.nn.relu(x)
         x = MaskedBatchNorm(name="bn2")(x, mask, use_running_average)
         x = TorchLinear(self.num_classes, name="fc2")(x)
-        return jax.nn.log_softmax(x, axis=-1)
+        logis = jax.nn.log_softmax(x, axis=-1)
+        if return_features:
+            # CausalGIN's vestigial IRM hook: pre-log_softmax logits plus
+            # log-probs (reference model.py:283-291 objects_readout_layer).
+            return x, logis
+        return logis

@@ -167,3 +167,24 @@ def test_sparse_tiled_factored_matches_plain(graphs):
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_causalgin_irm_return(graphs):
+    """train_type='irm' (gin only): o-branch returns (logits, log_probs)
+    with log_probs == log_softmax(logits) == the base call's o-branch
+    (reference model.py:234,283-291)."""
+    cfg = Config(model="CausalGIN", hidden=16, layers=1)
+    model = get_model(cfg, 0, 3)
+    g = _first_batch(graphs, "dense")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "intervention": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, g, train=False, eval_random=False)
+    _, o_base, _ = model.apply(variables, g, train=False, eval_random=False)
+    _, o_irm, _ = model.apply(variables, g, train=False, eval_random=False,
+                              train_type="irm")
+    feats, logis = o_irm
+    np.testing.assert_allclose(np.asarray(logis), np.asarray(o_base),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.log_softmax(feats, axis=-1)),
+        np.asarray(logis), rtol=1e-5, atol=1e-6)

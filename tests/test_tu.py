@@ -71,7 +71,7 @@ def test_feature_expander_deg_odeg():
     # path 0-1-2: degrees 1,2,1
     e = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
     fe = FeatureExpander(degree=True, onehot_maxdeg=2, AK=0)
-    x, e2 = fe.transform(None, e, 3)
+    x, e2, _ = fe.transform(None, e, 3)
     # [ones ‖ deg ‖ onehot(3)]
     np.testing.assert_allclose(x[:, 0], 1.0)
     np.testing.assert_allclose(x[:, 1], [1, 2, 1])
@@ -84,7 +84,7 @@ def test_feature_expander_akx_norm():
     e = np.array([[0, 1], [1, 0]])
     fe = FeatureExpander(degree=False, onehot_maxdeg=None, AK=1)
     x_in = np.array([[1.0], [3.0]], np.float32)
-    x, _ = fe.transform(x_in, e, 2)
+    x, _, _ = fe.transform(x_in, e, 2)
     d = 1.0 + 1e-8
     expect0 = (1 / d) * 3.0 + (1e-8 / d) * 1.0    # from node1 + self
     expect1 = (1 / d) * 1.0 + (1e-8 / d) * 3.0
@@ -94,17 +94,48 @@ def test_feature_expander_akx_norm():
 def test_feature_expander_remove_edges_and_noise():
     e = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
     fe = FeatureExpander(remove_edges="nonself", AK=0, onehot_maxdeg=None)
-    _, e2 = fe.transform(None, e, 3)
+    _, e2, _ = fe.transform(None, e, 3)
     np.testing.assert_array_equal(e2, [[0, 1, 2], [0, 1, 2]])
     fe = FeatureExpander(remove_edges="all", AK=0, onehot_maxdeg=None)
-    _, e3 = fe.transform(None, e, 3)
+    _, e3, _ = fe.transform(None, e, 3)
     assert e3.shape == (2, 0)
     fe = FeatureExpander(edge_noises_delete=0.5, AK=0, onehot_maxdeg=None)
-    _, e4 = fe.transform(None, e, 3)
+    _, e4, _ = fe.transform(None, e, 3)
     assert e4.shape[1] == 2
     fe = FeatureExpander(edge_noises_add=0.5, AK=0, onehot_maxdeg=None)
-    _, e5 = fe.transform(None, e, 3)
+    _, e5, _ = fe.transform(None, e, 3)
     assert e5.shape[1] == 6
+
+
+def test_feature_expander_group_degree():
+    # star 0-{1,2,3} plus chain 3-4 plus isolated node 5:
+    # degrees 3,1,1,2,1,0
+    e = np.array([[0, 1, 0, 2, 0, 3, 3, 4],
+                  [1, 0, 2, 0, 3, 0, 4, 3]])
+    fe = FeatureExpander(degree=True, onehot_maxdeg=None, AK=0,
+                         remove_edges="all", group_degree=2)
+    x, e2, xg = fe.transform(None, e, 6)
+    assert e2.shape == (2, 0)
+    # features pre-grouping are [1, deg]; deg-1 group = nodes {1,2,4},
+    # deg-2 group = {3}; survivors deg>2 = {0}; deg-0 node 5 dropped
+    np.testing.assert_allclose(x, [[1.0, 3.0]])
+    np.testing.assert_allclose(xg, [[3, 1, 1, 1, 1, 2]])
+
+    # group_degree=3 leaves no survivors -> single zero row; group 3 = {0}
+    fe = FeatureExpander(degree=True, onehot_maxdeg=None, AK=0,
+                         remove_edges="all", group_degree=3)
+    x, _, xg = fe.transform(None, e, 6)
+    np.testing.assert_allclose(x, [[0.0, 0.0]])
+    np.testing.assert_allclose(xg, [[3, 1, 1, 1, 1, 2, 1, 1, 3]])
+
+    # an empty group (no deg-1 nodes) contributes [count=0, zeros]:
+    # triangle 0-1-2, all degrees 2
+    e1 = np.array([[0, 1, 1, 2, 2, 0], [1, 0, 2, 1, 0, 2]])
+    fe = FeatureExpander(degree=True, onehot_maxdeg=None, AK=0,
+                         remove_edges="all", group_degree=2)
+    x, _, xg = fe.transform(None, e1, 3)
+    np.testing.assert_allclose(x, [[0.0, 0.0]])
+    np.testing.assert_allclose(xg, [[0, 0, 0, 3, 1, 2]])
 
 
 def test_parse_feat_str_and_triples():
