@@ -72,7 +72,8 @@ def _train_workload():
 
 
 def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
-                       target_steps: int = 400) -> dict:
+                       target_steps: int = 400,
+                       skip_empty: bool = False) -> dict:
     """Time the device-side epoch loop (production path: one dispatch per
     epoch, train/steps.py make_causal_train_epoch).
 
@@ -84,7 +85,8 @@ def bench_causal_train(model_name: str, cfg, batches, edges_per_batch,
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(batches))
     rng = jax.random.PRNGKey(cfg.seed)
     state = init_state(model, tx, batches[0], rng)
-    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True,
+                                       skip_empty=skip_empty)
     stacked = stack_batches(batches)
     n_batches = len(batches)
 
@@ -190,7 +192,8 @@ def bench_sparse_pack(cfg) -> dict:
         edges_per_batch = float(np.sum([float(live(b)) for b in batches])
                                 ) / len(batches)
         results[tag] = bench_causal_train(
-            "CausalGCN", cfg, batches, edges_per_batch, target_steps=60)
+            "CausalGCN", cfg, batches, edges_per_batch, target_steps=60,
+            skip_empty=(tag == "packed"))
     out = dict(results["packed"])
     out["speedup_vs_worst_case_padding"] = (
         results["packed"]["edges_per_s"] / results["worst"]["edges_per_s"])

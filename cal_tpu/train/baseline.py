@@ -86,8 +86,10 @@ def train_baseline_syn(
     state = init_state(model, tx, next(iter(train_loader)), init_rng,
                        causal=False)
     if cfg.scan_epochs:
-        epoch_fn = make_baseline_train_epoch(model, tx)
-        eval_epoch = make_baseline_eval_epoch(model)
+        epoch_fn = make_baseline_train_epoch(
+            model, tx, skip_empty=train_loader.pack)
+        eval_epoch = make_baseline_eval_epoch(
+            model, skip_empty=val_loader.pack)
         # eval loaders don't shuffle: pack + stack once, reuse every epoch
         val_stacked = _stack_loader(val_loader)
         test_stacked = _stack_loader(test_loader)

@@ -209,8 +209,10 @@ def train_causal_syn(
 
     if cfg.scan_epochs:
         epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
-                                           cfg.with_random)
-        eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
+                                           cfg.with_random,
+                                           skip_empty=train_loader.pack)
+        eval_epoch = make_causal_eval_epoch(model, cfg.eval_random,
+                                            skip_empty=val_loader.pack)
         # eval loaders don't shuffle: pack + stack them once, reuse forever
         val_stacked = _stack_loader(val_loader, mesh)
         test_stacked = _stack_loader(test_loader, mesh)
@@ -653,8 +655,10 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
                                 cfg.weight_decay)
             if cfg.scan_epochs:
                 epoch_fn = make_causal_train_epoch(
-                    model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)
-                eval_epoch = make_causal_eval_epoch(model, cfg.eval_random)
+                    model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random,
+                    skip_empty=train_loader.pack)
+                eval_epoch = make_causal_eval_epoch(
+                    model, cfg.eval_random, skip_empty=test_loader.pack)
             else:
                 train_step = make_causal_train_step(
                     model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)

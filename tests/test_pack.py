@@ -113,17 +113,27 @@ def test_pack_epoch_matches_epoch_without_pads(heavy_graphs):
     tx = make_optimizer(cfg.lr, cfg.min_lr, 2, loader.schedule_steps, 0.0)
     rng = jax.random.PRNGKey(0)
     state = init_state(model, tx, to_device(batches[0]), rng)
+    # skip_empty=True is the production packed path (pad steps lax.cond'd
+    # away); it must match both the gated path and the pad-free stack
+    # bit-for-bit.
+    finals = []
+    for skip in (False, True):
+        epoch = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co,
+                                        True, skip_empty=skip)
+        sa, ma = epoch(jax.tree.map(jnp.copy, state),
+                       to_device(stack_batches_host(batches)), rng)
+        assert int(ma["n"]) == len(heavy_graphs)
+        finals.append(sa)
     epoch = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
-    sa, ma = epoch(jax.tree.map(jnp.copy, state),
-                   to_device(stack_batches_host(batches)), rng)
     sb, mb = epoch(jax.tree.map(jnp.copy, state),
                    to_device(stack_batches_host(real)), rng)
-    assert int(ma["n"]) == int(mb["n"]) == len(heavy_graphs)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
-                                                   np.asarray(b)),
-        sa.params, sb.params,
-    )
+    assert int(mb["n"]) == len(heavy_graphs)
+    for sa in finals:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            sa.params, sb.params,
+        )
 
 
 def test_pack_trains_end_to_end(heavy_graphs):
