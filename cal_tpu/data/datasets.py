@@ -91,7 +91,8 @@ def create_n_filter_triples(
             "SYNREDDIT",  # no-egress REDDIT-BINARY stand-in
         ):
             feat_str = feat_str.replace("odeg100", "odeg10")
-        if dd_odeg10_ak1 and dataset == "DD":
+        if dd_odeg10_ak1 and dataset in ("DD", "SYNDD"):
+            # SYNDD = no-egress DD stand-in (benchmarks/gen_dd_synthetic)
             feat_str = feat_str.replace("odeg100", "odeg10")
             feat_str = feat_str.replace("ak3", "ak1")
         out.append((dataset, feat_str, net))
