@@ -174,3 +174,32 @@ def test_pack_with_tiles_matches_plain(heavy_graphs):
         mt = ev(state, bt, rng)
         assert int(mp["n"]) == int(mt["n"])
         assert int(mp["correct_o"]) == int(mt["correct_o"])
+
+
+def test_pack_eval_skip_empty_matches(heavy_graphs):
+    """Eval sweep over a packed stack (with pad batches): skip_empty=True
+    must produce the same counts as the gated sweep and as the pad-free
+    stack."""
+    from cal_tpu.train.steps import make_causal_eval_epoch
+
+    cfg = Config(model="CausalGCN", hidden=16, layers=2, layout="sparse",
+                 batch_size=8)
+    budgets = compute_packed_budgets(heavy_graphs, 8)
+    loader = Loader(heavy_graphs, 8, shuffle=False, layout="sparse",
+                    budgets=budgets)
+    batches = list(loader.host_batches())
+    real = [b for b in batches if int(b.graph_mask.sum()) > 0]
+    assert len(real) < len(batches)
+    model = get_model(cfg, 0, 3)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, 2, loader.schedule_steps, 0.0)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, tx, to_device(batches[0]), rng)
+    outs = []
+    for skip, stack in ((False, batches), (True, batches), (False, real)):
+        sweep = make_causal_eval_epoch(model, False, skip_empty=skip)
+        outs.append(sweep(state, to_device(stack_batches_host(stack)), rng))
+    for o in outs[1:]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            outs[0], o)
