@@ -185,8 +185,13 @@ def bench_sparse_pack(cfg) -> dict:
         ("packed", compute_packed_budgets(graphs, cfg.batch_size)),
         ("worst", compute_budgets(graphs, cfg.batch_size, "sparse")),
     ):
+        # mirror the production loader config (_make_mesh_and_loaders):
+        # fill-rule tile plans + bf16 tile precision under mixed precision
         loader = Loader(graphs, cfg.batch_size, shuffle=False,
-                        layout="sparse", budgets=budgets, seed=0)
+                        layout="sparse", budgets=budgets, seed=0,
+                        spmm_tiles="auto",
+                        spmm_precision="bf16" if cfg.dtype == "bfloat16"
+                        else "f32")
         batches = list(loader)
         live = jax.jit(lambda b: b.edge_mask.sum())
         edges_per_batch = float(np.sum([float(live(b)) for b in batches])

@@ -108,13 +108,15 @@ def build_epoch_sparse(model_name: str, dtype: str):
     graphs = bench_mod._sparse_pack_workload()
     budgets = compute_packed_budgets(graphs, cfg.batch_size)
     loader = Loader(graphs, cfg.batch_size, shuffle=False, layout="sparse",
-                    budgets=budgets, seed=0)
+                    budgets=budgets, seed=0, spmm_tiles="auto",
+                    spmm_precision="bf16" if dtype == "bfloat16" else "f32")
     batches = list(loader)
     stacked = stack_batches(batches)
     model = get_model(cfg, 0, 2)
     tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, len(batches), 0.0)
     state = init_state(model, tx, batches[0], jax.random.PRNGKey(0))
-    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True)
+    epoch_fn = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True,
+                                       skip_empty=True)
     live = jax.jit(lambda b: b.edge_mask.sum())
     edges = float(np.mean([float(live(b)) for b in batches]))
     return epoch_fn, state, stacked, jax.random.PRNGKey(0), edges
