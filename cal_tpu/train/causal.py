@@ -451,6 +451,15 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     eval_folds = make_causal_eval_epoch_folds(model, cfg.eval_random)
     init_fn = make_init_fn(model, causal=True)
 
+    # fold-parallel does NOT compose with budget-packed batching: packing
+    # closes batches early per fold, so fold batch counts (and step
+    # semantics) would diverge across the vmapped fold axis.  Heavy-tailed
+    # datasets get worst-case budgets here (the HBM-footprint guard below
+    # catches the ones that can't afford that).
+    if cfg.layout == "sparse" and cfg.pack_batches != "false":
+        print("fold_parallel: budget-packed batching not supported on the "
+              "vmapped fold axis - using worst-case budgets "
+              "(run without --fold_parallel for packing)")
     budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
     tiles = "auto" if cfg.use_pallas else False
     prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
