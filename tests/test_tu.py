@@ -166,3 +166,17 @@ def test_get_dataset_and_causal_real_smoke(tmp_path):
     res = train_causal_real(ds, ds.num_classes, cfg, verbose=False)
     assert 0.0 <= res["test_acc_mean"] <= 1.0
     assert res["selected_epoch"] in (1, 2)
+
+
+def test_group_degree_xg_survives_cache(tmp_path):
+    """groupd feat_str: xg is materialized on HostGraph and survives the
+    pickle cache round trip (tu.py _CACHE_VERSION 3)."""
+    write_toy_tu(str(tmp_path))
+    for _ in range(2):  # second pass loads the processed cache
+        ds = get_dataset("TOY", feat_str="deg+groupd2+reall",
+                         root=str(tmp_path))
+        for g in ds:
+            assert g.xg is not None
+            assert g.xg.shape[0] == 1
+            # [count ‖ mean-feats] per degree group, flattened
+            assert g.xg.shape[1] % 2 == 0
