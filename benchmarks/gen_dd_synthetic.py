@@ -10,14 +10,19 @@ The class signal is the contact *topology*, not the label histogram —
 labels are drawn iid from the same distribution for both classes:
 
 * class 1 ("alpha-rich"): helical segments add short-range contacts
-  (i, i+3) and (i, i+4) inside each segment;
+  (i, i+3) and (i, i+4) inside each segment — interior residues touch 4
+  contacts (degree 6 with the backbone);
 * class 0 ("beta-rich"): paired strand segments add long-range ladder
-  contacts (a+t, b+t) and (a+t, b+t+1) between the pair.
+  contacts (a+t, b+t±k) between the pair — interior residues also touch 4
+  contacts (degree 6 with the backbone).
 
-Both classes carry ~2 contacts per covered residue at the same coverage, so
-edge counts and degree histograms overlap; what differs is whether contacts
-are sequence-local or long-range — exactly the kind of signal message
-passing can read and feature histograms cannot.
+Interior contact degrees match by construction, and every graph is then
+topped up with random long-range contacts to a per-graph edge/node target
+drawn from the SAME distribution for both classes — so neither total edge
+count nor mean degree separates the classes (verified at generation time:
+the best single edges/node threshold is printed and must sit near 50%).
+What differs is whether contacts are sequence-local or long-range — the
+kind of signal message passing can read and feature histograms cannot.
 
 Usage: python -m benchmarks.gen_dd_synthetic [--root data] [--name SYNDD]
 Writes {root}/{name}/raw/{name}_{A,graph_indicator,graph_labels,
@@ -65,25 +70,46 @@ def make_graph(rng: np.random.Generator, label: int):
 
     if label == 1:
         # helices: short-range (i, i+3), (i, i+4) contacts in-segment
+        # (interior residue: 4 contacts -> degree 6 with the backbone)
         for start, seg_len in segments:
             for i in range(start, start + seg_len - 4):
                 edges.append((i, i + 3))
                 edges.append((i, i + 4))
     else:
-        # beta sheets: pair up strand segments with ladder contacts
+        # beta sheets: pair up strand segments with ladder contacts at
+        # offsets 0/+1/-1/+2 (interior residue: 4 contacts -> degree 6,
+        # matching the helix interiors)
         rng.shuffle(segments)
         for k in range(0, len(segments) - 1, 2):
             (a, la), (b, lb) = segments[k], segments[k + 1]
-            for t in range(min(la, lb) - 1):
+            m = min(la, lb)
+            for t in range(m - 1):
                 edges.append((a + t, b + t))
                 edges.append((a + t, b + t + 1))
+                edges.append((a + t + 1, b + t))
+                if t + 2 < m:
+                    edges.append((a + t, b + t + 2))
 
     # sparse tertiary noise contacts (~8% of n) for both classes
     for _ in range(max(1, n // 12)):
         u, v = rng.integers(0, n, size=2)
         if u != v:
             edges.append((int(u), int(v)))
-    return n, edges, labels
+
+    # density top-up: both classes draw the same edges/node target, so
+    # total edge count / mean degree carries no class signal (the class
+    # lives in the contact topology, not the density)
+    # (2.6-2.8 sits above both classes' structural density ceilings, so the
+    # top-up always engages and the target distribution is shared)
+    target = int(n * rng.uniform(2.6, 2.8))
+    dedup = {(min(u, v), max(u, v)) for u, v in edges}
+    tries = 0
+    while len(dedup) < target and tries < 10 * target:
+        u, v = rng.integers(0, n, size=2)
+        tries += 1
+        if u != v:
+            dedup.add((min(int(u), int(v)), max(int(u), int(v))))
+    return n, sorted(dedup), labels
 
 
 def main():
@@ -101,12 +127,14 @@ def main():
     a_lines, gi_lines, gl_lines, nl_lines = [], [], [], []
     offset = 0
     sizes = []
+    densities = []
     # DD's class split is ~59/41
     labels_seq = (np.arange(args.graphs) % 100 < 59).astype(int)
     for g in range(args.graphs):
         label = int(labels_seq[g])
         n, edges, labels = make_graph(rng, label)
         sizes.append(n)
+        densities.append(len(edges) / n)
         for u, v in edges:
             a_lines.append(f"{offset + u + 1}, {offset + v + 1}")
             a_lines.append(f"{offset + v + 1}, {offset + u + 1}")
@@ -127,6 +155,23 @@ def main():
     print(f"nodes/graph: mean {sizes.mean():.1f} median "
           f"{int(np.median(sizes))} max {sizes.max()} | "
           f"edges/node {len(a_lines) / offset:.2f}")
+    # density-leak check: best single edges/node threshold must be ~chance
+    dens = np.array(densities)
+    ys = labels_seq[: len(dens)]
+    order = np.argsort(dens)
+    y_sorted = ys[order]
+    ones_left = np.concatenate([[0], np.cumsum(y_sorted)])
+    total_ones = int(ys.sum())
+    accs = []
+    for cut in range(len(dens) + 1):
+        right_ones = total_ones - ones_left[cut]
+        acc = max(ones_left[cut] + (len(dens) - cut) - right_ones,
+                  right_ones + cut - ones_left[cut]) / len(dens)
+        accs.append(acc)
+    maj = max(total_ones, len(dens) - total_ones) / len(dens)
+    print(f"density-threshold classifier: best acc {max(accs) * 100:.1f}% "
+          f"(majority baseline {maj * 100:.1f}%) — must be ~baseline, or "
+          f"edge density leaks the class")
 
 
 if __name__ == "__main__":

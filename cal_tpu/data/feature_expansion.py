@@ -30,7 +30,7 @@ import numpy as np
 
 
 class FeatureExpander:
-    """Stateless per-graph transform: ``transform(x, edge_index, n) -> (x, e)``."""
+    """Stateless per-graph transform: ``transform(x, edge_index, n) -> (x, e, xg)``."""
 
     def __init__(
         self,

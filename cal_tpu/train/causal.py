@@ -456,7 +456,7 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     # semantics) would diverge across the vmapped fold axis.  Heavy-tailed
     # datasets get worst-case budgets here (the HBM-footprint guard below
     # catches the ones that can't afford that).
-    if cfg.layout == "sparse" and cfg.pack_batches != "false":
+    if _want_pack(cfg, graphs):
         print("fold_parallel: budget-packed batching not supported on the "
               "vmapped fold axis - using worst-case budgets "
               "(run without --fold_parallel for packing)")
