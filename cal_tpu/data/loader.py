@@ -344,10 +344,16 @@ class Loader:
             if self.spmm_tiles:
                 from cal_tpu.ops import pallas_spmm as _ps
 
+                # SLIM plans: only perm + block ids cross the host->device
+                # boundary; the [n, T] slot arrays are derived on device
+                # (steps.hydrate_stacked) — 5x fewer epoch-stack tile
+                # bytes, and the tunneled backend retains one host copy
+                # of every transferred buffer (build_tiles docstring).
                 kw = dict(node_block=self._node_block,
                           tile_edges=self._tile_edges,
                           tile_budget=self._tile_budget, device=False,
-                          edge_mask=em, precision=self.spmm_precision)
+                          edge_mask=em, precision=self.spmm_precision,
+                          slim=True)
                 tiles = (_ps.build_tiles(s, r, nb, **kw),
                          _ps.build_tiles(r, s, nb, **kw))
             return GraphBatch(x=x, senders=s, receivers=r, edge_mask=em,

@@ -169,6 +169,7 @@ def build_tiles(
     precision: str = "f32",
     device: bool = True,
     edge_mask=None,
+    slim: bool = False,
 ) -> SpmmTiles:
     """Host-side (numpy, fully vectorized — r4: the per-tile python loop
     cost seconds per REDDIT-scale epoch) tile packing.  Structure-only:
@@ -206,6 +207,27 @@ def build_tiles(
     jblk[:n_real] = tile_j
     first[:n_real] = tile_first
 
+    if slim:
+        # SLIM plan: ship only perm + per-tile block ids; the [n, T] slot
+        # arrays (sloc/rloc/sglb/rglb) are derived ON DEVICE from
+        # (perm, jblk/iblk, senders, receivers, edge_mask) by
+        # ``hydrate_tiles`` — 5x fewer host->device bytes per epoch.  This
+        # matters doubly on the tunneled TPU backend, whose client
+        # permanently retains one host copy of every transferred buffer
+        # (measured r4: 128 MB RSS growth per 128 MB device_put; a packed
+        # SYNREDDIT GAT run leaked ~300 MB/epoch and OOM-killed the host
+        # at fold 8).
+        perm = np.full((n, T), E, np.int32)
+        if E:
+            flat = tile_of_edge * T + slot_of_edge
+            perm.reshape(-1)[flat] = order
+        conv = jnp.asarray if device else np.asarray
+        return SpmmTiles(
+            iblk=conv(iblk), jblk=conv(jblk), first=conv(first),
+            sloc=None, rloc=None, perm=conv(perm),
+            node_block=node_block, precision=precision,
+            sglb=None, rglb=None)
+
     sloc = np.zeros((n, T), np.int32)
     rloc = np.zeros((n, T), np.int32)
     perm = np.full((n, T), E, np.int32)
@@ -233,6 +255,42 @@ def build_tiles(
         precision=precision,
         sglb=conv(sglb),
         rglb=conv(rglb),
+    )
+
+
+def hydrate_tiles(t: SpmmTiles, s_arr, r_arr, edge_mask,
+                  num_nodes: int) -> SpmmTiles:
+    """Device-side completion of a SLIM plan (``build_tiles(slim=True)``).
+
+    Recomputes the [n, T] slot arrays from the shipped ``perm`` and the
+    batch's own edge arrays — three [n*T] gathers + cheap arithmetic, run
+    ONCE per epoch (pre-scan) rather than shipped per epoch:
+
+      sloc = senders[perm] - jblk*node_block   (0 on budget-pad slots)
+      rloc = receivers[perm] - iblk*node_block
+      sglb = senders[perm]  where live else V  (V also on pad slots)
+      rglb = receivers[perm] likewise
+
+    ``s_arr``/``r_arr`` are the arrays the plan was BUILT from — for the
+    transposed (backward) plan pass them swapped, exactly as build_tiles
+    was called.  Bit-identical to the eager arrays (tests/test_pallas_spmm
+    ::test_slim_hydrate_matches_eager)."""
+    E = s_arr.shape[0]
+    n, T = t.perm.shape
+    v = jnp.asarray(num_nodes, jnp.int32)
+    idx = t.perm.reshape(-1)
+    safe = jnp.clip(idx, 0, max(E - 1, 0))
+    real = (idx < E).reshape(n, T)
+    se = jnp.take(s_arr.astype(jnp.int32), safe).reshape(n, T)
+    re_ = jnp.take(r_arr.astype(jnp.int32), safe).reshape(n, T)
+    live = real & jnp.take(edge_mask, safe).reshape(n, T)
+    nbk = t.node_block
+    return dataclasses.replace(
+        t,
+        sloc=jnp.where(real, se - t.jblk[:, None] * nbk, 0),
+        rloc=jnp.where(real, re_ - t.iblk[:, None] * nbk, 0),
+        sglb=jnp.where(live, se, v),
+        rglb=jnp.where(live, re_, v),
     )
 
 

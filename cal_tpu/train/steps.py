@@ -41,7 +41,33 @@ def _as_graph(batch, dtype=None, use_pallas: bool = True):
     flag, so --use_pallas false disables every custom kernel at once)."""
     if isinstance(batch, PackedDenseBatch):
         return to_dense(batch, dtype, use_pallas=use_pallas)
-    return batch
+    return _hydrate_tiles(batch)
+
+
+def _hydrate_tiles(g):
+    """Complete SLIM tile plans device-side (pallas_spmm.hydrate_tiles —
+    the host loader ships only ``perm`` + block ids; see build_tiles(slim)
+    for why).  No-op for full plans and non-tiled batches."""
+    tiles = getattr(g, "tiles", None)
+    if tiles is None or tiles[0].sloc is not None:
+        return g
+    import dataclasses
+
+    from cal_tpu.ops.pallas_spmm import hydrate_tiles
+
+    v = g.x.shape[-2]
+    tf = hydrate_tiles(tiles[0], g.senders, g.receivers, g.edge_mask, v)
+    tb = hydrate_tiles(tiles[1], g.receivers, g.senders, g.edge_mask, v)
+    return dataclasses.replace(g, tiles=(tf, tb))
+
+
+def hydrate_stacked(stacked):
+    """Pre-scan tile hydration for a [steps, ...]-stacked epoch: one
+    batched gather pass instead of per-step gathers inside the scan."""
+    tiles = getattr(stacked, "tiles", None)
+    if tiles is None or tiles[0].sloc is not None:
+        return stacked
+    return jax.vmap(_hydrate_tiles)(stacked)
 
 
 def _model_dtype(model):
@@ -220,6 +246,7 @@ def make_causal_train_epoch(model, tx, c_w, o_w, co_w, with_random: bool,
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch(state: TrainState, stacked, rng):
+        stacked = hydrate_stacked(stacked)
         state, auxes = jax.lax.scan(
             lambda s, b: inner(s, b, rng), state, stacked)
         return state, jax.tree.map(lambda a: a.sum(0), auxes)
@@ -289,6 +316,7 @@ def make_causal_eval_epoch(model, eval_random: bool,
 
     @jax.jit
     def sweep(state: TrainState, stacked, rng):
+        stacked = hydrate_stacked(stacked)
         _, outs = jax.lax.scan(
             lambda carry, b: (carry, step(state, b, rng)), 0, stacked)
         return jax.tree.map(lambda a: a.sum(0), outs)
@@ -313,6 +341,7 @@ def make_causal_train_epoch_folds(model, tx, c_w, o_w, co_w,
     inner = _causal_step_fn(model, tx, c_w, o_w, co_w, with_random)
 
     def one(state, stacked, rng):
+        stacked = hydrate_stacked(stacked)
         state, auxes = jax.lax.scan(
             lambda s, b: inner(s, b, rng), state, stacked)
         return state, jax.tree.map(lambda a: a.sum(0), auxes)
@@ -326,6 +355,7 @@ def make_causal_eval_epoch_folds(model, eval_random: bool):
     step = make_causal_eval_step(model, eval_random).__wrapped__
 
     def sweep(state: TrainState, stacked, rng):
+        stacked = hydrate_stacked(stacked)
         _, outs = jax.lax.scan(
             lambda carry, b: (carry, step(state, b, rng)), 0, stacked)
         return jax.tree.map(lambda a: a.sum(0), outs)
@@ -395,6 +425,7 @@ def make_baseline_train_epoch(model, tx, skip_empty: bool = False):
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch(state: TrainState, stacked, rng):
+        stacked = hydrate_stacked(stacked)
         state, auxes = jax.lax.scan(
             lambda s, b: inner(s, b, rng), state, stacked)
         return state, jax.tree.map(lambda a: a.sum(0), auxes)
@@ -413,6 +444,7 @@ def make_baseline_eval_epoch(model, skip_empty: bool = False):
 
     @jax.jit
     def sweep(state: TrainState, stacked):
+        stacked = hydrate_stacked(stacked)
         _, outs = jax.lax.scan(
             lambda carry, b: (carry, step(state, b)), 0, stacked)
         return jax.tree.map(lambda a: a.sum(0), outs)

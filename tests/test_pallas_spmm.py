@@ -413,3 +413,31 @@ def test_resident_matches_streaming(rng, monkeypatch):
     for a, b in zip(g_res, g_str):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_slim_hydrate_matches_eager(rng):
+    """build_tiles(slim=True) + hydrate_tiles must reproduce the eager
+    plan bit-for-bit (sloc/rloc/sglb/rglb), including masked edges,
+    budget-pad slots and budget-pad tiles."""
+    from cal_tpu.ops.pallas_spmm import hydrate_tiles
+
+    V, E = 256, 600
+    senders = rng.integers(0, V, size=E).astype(np.int32)
+    receivers = np.sort(rng.integers(0, V, size=E)).astype(np.int32)
+    edge_mask = np.arange(E) < int(E * 0.85)
+    budget = tile_budget_for(E, V, NB, T) + 3   # force budget-pad tiles
+    for s_arr, r_arr in ((senders, receivers), (receivers, senders)):
+        eager = build_tiles(s_arr, r_arr, V, node_block=NB, tile_edges=T,
+                            tile_budget=budget, edge_mask=edge_mask)
+        slim = build_tiles(s_arr, r_arr, V, node_block=NB, tile_edges=T,
+                           tile_budget=budget, edge_mask=edge_mask,
+                           slim=True)
+        assert slim.sloc is None and slim.sglb is None
+        np.testing.assert_array_equal(np.asarray(slim.perm),
+                                      np.asarray(eager.perm))
+        hyd = hydrate_tiles(slim, jnp.asarray(s_arr), jnp.asarray(r_arr),
+                            jnp.asarray(edge_mask), V)
+        for f in ("sloc", "rloc", "sglb", "rglb", "iblk", "jblk", "first"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(hyd, f)), np.asarray(getattr(eager, f)),
+                err_msg=f)
