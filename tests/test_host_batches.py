@@ -80,6 +80,15 @@ def test_partitioned_host_batches_match_device_iter(graphs):
 
 
 def test_sparse_tiles_host_plans(graphs):
+    """host_batches ships SLIM plans (perm + block ids only — the r4 H2D
+    retention-leak mitigation); the device __iter__ path builds full plans.
+    Device-side hydration of the slim plan must reproduce the full plan
+    leaf-for-leaf (steps.hydrate_stacked runs exactly this before the
+    epoch scan)."""
+    import jax.numpy as jnp
+
+    from cal_tpu.ops.pallas_spmm import hydrate_tiles
+
     budgets = compute_budgets(graphs, 16, "sparse")
     tl = Loader(graphs, 16, shuffle=False, layout="sparse",
                 budgets=budgets, spmm_tiles=True)
@@ -87,6 +96,18 @@ def test_sparse_tiles_host_plans(graphs):
     db = next(iter(tl))
     if hb.tiles is None:
         pytest.skip("native packer unavailable")
-    for a, b in zip(jax.tree.leaves(hb.tiles), jax.tree.leaves(db.tiles)):
-        assert isinstance(a, np.ndarray)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    nb = budgets["node_budget"]
+    s, r = jnp.asarray(hb.senders), jnp.asarray(hb.receivers)
+    em = jnp.asarray(hb.edge_mask)
+    # tiles = (fwd plan from (s, r), bwd plan from (r, s)) — hydrate with
+    # the same argument order build_tiles was called with
+    for slim, full, (a1, a2) in zip(hb.tiles, db.tiles, [(s, r), (r, s)]):
+        assert slim.sloc is None and slim.sglb is None
+        for leaf in jax.tree.leaves(slim):
+            assert isinstance(np.asarray(leaf), np.ndarray)
+        hyd = hydrate_tiles(slim, a1, a2, em, nb)
+        h_leaves = jax.tree.leaves(hyd)
+        f_leaves = jax.tree.leaves(full)
+        assert len(h_leaves) == len(f_leaves)
+        for a, b in zip(h_leaves, f_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
