@@ -47,8 +47,15 @@ def get_dataset(
     sparse: bool = True,
     feat_str: str = "deg+odeg100",
     root: Optional[str] = None,
+    pruning_percent: float = 0.0,
 ) -> TUDataset:
-    """Build a TU dataset with feature expansion (reference datasets.py:11-48)."""
+    """Build a TU dataset with feature expansion (reference datasets.py:11-48).
+
+    ``pruning_percent`` (reference datasets.py:11,45) randomly drops that
+    fraction of each graph's undirected edges before feature expansion and
+    caches under a separate file — see cal_tpu/data/tu.py for why this is
+    an intent-implementation rather than a behavior port (the reference's
+    own path crashes)."""
     del sparse  # layout is a loader concern in this framework
     if not root:
         root = os.path.join(os.path.expanduser("~"), "cal_tpu_data")
@@ -69,6 +76,7 @@ def get_dataset(
         pre_transform=pre_transform,
         use_node_attr=True,
         feat_str=feat_str,
+        pruning_percent=pruning_percent,
     )
 
 

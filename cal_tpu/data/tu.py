@@ -9,8 +9,15 @@ pre-transform (FeatureExpander), and caches the processed graphs keyed by
 ``feat_str`` (reference tu_dataset.py:21,44 ``data_%s.pt``).
 
 Latent reference bugs intentionally NOT reproduced: live ``pdb.set_trace()``
-(tu_dataset.py:80) and undefined ``data_list`` when ``pre_transform is None``
-(tu_dataset.py:83-87).
+(tu_dataset.py:80), undefined ``data_list`` when ``pre_transform is None``
+(tu_dataset.py:83-87), and the ``pruning_percent`` dead end — the reference
+(tu_dataset.py:29-33) loads a separate ``data_XX.pt`` cache when
+``pruning_percent > 0`` but NOTHING in the repo ever writes that file (its
+``process()`` saves only the unpruned path), so the flag crashes with
+FileNotFoundError unless the cache was produced externally.  Here the
+documented intent is implemented: drop ``pruning_percent`` of each graph's
+undirected edges (seeded, mirror-consistent) BEFORE feature expansion, and
+cache under the reference's ``_{percent*100}`` suffix convention.
 """
 from __future__ import annotations
 
@@ -142,6 +149,29 @@ def split_graphs(
     return graphs
 
 
+def prune_edges(edge_index: np.ndarray, percent: float,
+                rng: np.random.Generator) -> np.ndarray:
+    """Randomly drop ``percent`` of a graph's UNDIRECTED edges.
+
+    The coalesced edge list stores each undirected edge as two directed
+    entries; both directions of a sampled edge are dropped together so the
+    graph stays symmetric.  One-directional leftovers (true digraph edges)
+    are sampled independently at the same rate.
+    """
+    if percent <= 0.0 or edge_index.shape[1] == 0:
+        return edge_index
+    s, r = edge_index
+    n = max(int(edge_index.max()) + 1, 1)
+    # canonical undirected key: (min, max) pair id
+    lo = np.minimum(s, r).astype(np.int64)
+    hi = np.maximum(s, r).astype(np.int64)
+    key = lo * n + hi
+    uniq, inv = np.unique(key, return_inverse=True)
+    keep_pair = rng.random(uniq.shape[0]) >= percent
+    keep = keep_pair[inv]
+    return edge_index[:, keep]
+
+
 def download_tu(root: str, name: str) -> None:
     """Download and unpack ``{name}.zip`` from the TU collection
     (reference tu_dataset.py:66-71). Requires network access."""
@@ -177,10 +207,14 @@ class TUDataset(Sequence):
         pre_transform: Optional[Callable] = None,
         use_node_attr: bool = True,
         feat_str: str = "",
+        pruning_percent: float = 0.0,
+        pruning_seed: int = 12345,
     ):
         self.root = root
         self.name = name
         self.feat_str = feat_str
+        self.pruning_percent = float(pruning_percent)
+        self.pruning_seed = pruning_seed
         self.raw_dir = os.path.join(root, name, "raw")
         self.processed_dir = os.path.join(root, name, "processed")
         self._graphs: List[HostGraph] = []
@@ -198,8 +232,12 @@ class TUDataset(Sequence):
     def _process(self, pre_transform, use_node_attr) -> None:
         d = read_tu_data(self.raw_dir, self.name)
         self.num_classes = int(d.y.max()) + 1 if d.y.size else 0
+        rng = (np.random.default_rng(self.pruning_seed)
+               if self.pruning_percent > 0 else None)
         graphs = []
         for x, e, y in split_graphs(d, use_node_attr=use_node_attr):
+            if rng is not None:
+                e = prune_edges(e, self.pruning_percent, rng)
             n = x.shape[0] if x is not None else (
                 int(e.max()) + 1 if e.size else 1)
             xg = None
@@ -220,6 +258,10 @@ class TUDataset(Sequence):
     @property
     def _cache_path(self) -> str:
         tag = self.feat_str or "raw"
+        if self.pruning_percent > 0:
+            # reference convention: separate cache file suffixed with
+            # percent*100 (tu_dataset.py:30 ``data_%s_XX.pt``)
+            tag = f"{tag}_{self.pruning_percent * 100:g}"
         return os.path.join(self.processed_dir, f"data_{tag}.pkl")
 
     def _save_cache(self) -> None:
@@ -228,6 +270,7 @@ class TUDataset(Sequence):
             "version": _CACHE_VERSION,
             "name": self.name,
             "feat_str": self.feat_str,
+            "pruning_percent": self.pruning_percent,
             "num_classes": self.num_classes,
             "graphs": [(g.x, g.senders, g.receivers, g.y, g.xg)
                        for g in self._graphs],
@@ -246,7 +289,9 @@ class TUDataset(Sequence):
             return False
         if (payload.get("version") != _CACHE_VERSION
                 or payload.get("name") != self.name
-                or payload.get("feat_str") != self.feat_str):
+                or payload.get("feat_str") != self.feat_str
+                or payload.get("pruning_percent", 0.0)
+                != self.pruning_percent):
             return False
         self.num_classes = payload["num_classes"]
         self._graphs = [HostGraph(x=x, senders=s, receivers=r, y=y, xg=xg)

@@ -180,3 +180,33 @@ def test_group_degree_xg_survives_cache(tmp_path):
             assert g.xg.shape[0] == 1
             # [count ‖ mean-feats] per degree group, flattened
             assert g.xg.shape[1] % 2 == 0
+
+
+def test_pruning_percent(tmp_path):
+    """pruning_percent drops undirected edge pairs before feature
+    expansion, caches under a separate data_*_XX file, and is
+    deterministic (reference tu_dataset.py:29-33 intent — the reference's
+    own path loads a cache nothing writes; see cal_tpu/data/tu.py)."""
+    from cal_tpu.data.tu import TUDataset, prune_edges
+
+    write_toy_tu(str(tmp_path))
+    base = get_dataset("TOY", feat_str="deg", root=str(tmp_path))
+    pruned = get_dataset("TOY", feat_str="deg", root=str(tmp_path),
+                         pruning_percent=0.5)
+    e_base = sum(g.senders.shape[0] for g in base)
+    e_pruned = sum(g.senders.shape[0] for g in pruned)
+    assert 0 < e_pruned < e_base
+    # separate cache file, reference suffix convention
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "TOY", "processed", "data_deg_50.pkl"))
+    # deterministic: a reload (cache hit) and a fresh re-process agree
+    again = get_dataset("TOY", feat_str="deg", root=str(tmp_path),
+                        pruning_percent=0.5)
+    for a, b in zip(pruned, again):
+        np.testing.assert_array_equal(a.senders, b.senders)
+    # mirror-consistency: prune_edges keeps both directions together
+    rng = np.random.default_rng(0)
+    e = np.array([[0, 1, 1, 2, 2, 3], [1, 0, 2, 1, 3, 2]])
+    out = prune_edges(e, 0.5, rng)
+    pairs = {tuple(sorted(p)) for p in out.T.tolist()}
+    assert out.shape[1] == 2 * len(pairs)  # every kept edge has its mirror
