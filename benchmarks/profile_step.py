@@ -74,7 +74,9 @@ def parse_trace(log_dir: str, n_steps: int):
     its branch's leaf ops, so summing raw durations double-counts every
     nested region (r4 saw op-sum 41 ms vs 20.5 ms wall).  A per-track
     interval stack charges each span only for time not covered by its
-    children, so the op-sum matches the wall total by construction."""
+    children, so the op-sum is BOUNDED by the wall total (wrapper
+    self-time — jit_/while/conditional scheduling gaps — is dropped by
+    ``emit`` and reported separately as the op-sum/wall gap)."""
     paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace under {log_dir}"
@@ -97,13 +99,21 @@ def parse_trace(log_dir: str, n_steps: int):
     def emit(name, self_us):
         # wrapper spans (dispatch containers) are accounted via their
         # children; their own self time is scheduling overhead — drop it
-        if name.startswith(("jit_", "while", "conditional")) or name == "0":
+        if is_wrapper(name):
             return
         agg[name] += self_us
         cnt[name] += 1
 
+    def is_wrapper(name):
+        return name.startswith(("jit_", "while", "conditional")) or name == "0"
+
     for evs in tracks.values():
-        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        # ties on (ts, dur) — a zero-overhead wrapper exactly spanning its
+        # sole child — must put the WRAPPER first, or the leaf becomes the
+        # "parent" and its self-time is zeroed by the wrapper "child"
+        # (advisor r4): known wrapper names sort before leaves at equal
+        # extent.
+        evs.sort(key=lambda e: (e["ts"], -e["dur"], not is_wrapper(e["name"])))
         stack = []  # [end_ts, name, dur, child_dur]
         for e in evs:
             ts, dur, name = e["ts"], e["dur"], e["name"]
