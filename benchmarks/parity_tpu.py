@@ -340,6 +340,116 @@ def spmm_sigmoid_fused_parity():
             check(f"grad {name} [{prec}]", a, b, gtol)
 
 
+def plain_fused_parity():
+    """Tile-order fused UNWEIGHTED aggregate (r5, backbone convs) vs the
+    segment path — fwd + grad, f32 and bf16 tile modes."""
+    print("tile-order fused plain SpMM vs gcn_aggregate_sparse:")
+    from cal_tpu.ops.pallas_spmm import (
+        NODE_BLOCK, TILE_EDGES, build_tiles,
+        gcn_aggregate_sparse_plain_pallas, tile_budget_for)
+
+    v, e, h = 2048, 8192, 128
+    rng = np.random.default_rng(13)
+    senders = rng.integers(0, v, size=e)
+    receivers = np.sort(rng.integers(0, v, size=e))
+    edge_mask = np.arange(e) < int(e * 0.9)
+    x = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    s_j, r_j, m_j = (jnp.asarray(senders, jnp.int32),
+                     jnp.asarray(receivers, jnp.int32),
+                     jnp.asarray(edge_mask))
+    budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
+    ref_fn = lambda x: gcn_aggregate_sparse(x, s_j, r_j, m_j, None)
+    for prec, ftol, gtol in (("f32", 1e-4, 1e-2), ("bf16", 2e-2, 5e-2)):
+        tf = build_tiles(senders, receivers, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        tb = build_tiles(receivers, senders, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        got_fn = lambda x: gcn_aggregate_sparse_plain_pallas(x, tf, tb)
+        check(f"fwd [{prec}]", jax.jit(got_fn)(x), jax.jit(ref_fn)(x), ftol)
+        gr = jax.jit(jax.grad(lambda a: jnp.sum(ref_fn(a) ** 2)))(x)
+        gg = jax.jit(jax.grad(lambda a: jnp.sum(got_fn(a) ** 2)))(x)
+        check(f"grad dx [{prec}]", gg, gr, gtol)
+
+
+def gat_fused_chain_parity():
+    """Tile-order fused GAT chain (r5) vs the pure-XLA sparse reference —
+    fwd + grads (xh, att halves), f32 and bf16 tile modes, plus
+    counter-hash dropout statistics and replay determinism."""
+    print("tile-order fused GAT chain vs gat_aggregate_sparse:")
+    from cal_tpu.ops.gat import gat_aggregate_sparse, gat_aggregate_sparse_fused
+    from cal_tpu.ops.pallas_spmm import (
+        NODE_BLOCK, TILE_EDGES, build_tiles, tile_budget_for)
+
+    v, e, heads, d = 4096, 65536, 4, 32
+    rng = np.random.default_rng(17)
+    senders = rng.integers(0, v, size=e)
+    receivers = np.sort(rng.integers(0, v, size=e))
+    edge_mask = np.arange(e) < int(e * 0.9)
+    xh = jnp.asarray(rng.standard_normal((v, heads, d)), jnp.float32)
+    att_dst = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+    att_src = jnp.asarray(rng.standard_normal((heads, d)), jnp.float32) * 0.1
+    s_j, r_j, m_j = (jnp.asarray(senders, jnp.int32),
+                     jnp.asarray(receivers, jnp.int32),
+                     jnp.asarray(edge_mask))
+    seed = jnp.asarray([111, 222], jnp.uint32)
+    budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
+    ref_fn = lambda xh, ad, asr: gat_aggregate_sparse(
+        xh, s_j, r_j, m_j, ad, asr)
+    for prec, ftol, gtol in (("f32", 1e-4, 1e-2), ("bf16", 2e-2, 5e-2)):
+        tf = build_tiles(senders, receivers, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        tb = build_tiles(receivers, senders, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        got_fn = lambda xh, ad, asr: gat_aggregate_sparse_fused(
+            xh, ad, asr, seed, tf, tb, 0.0)
+        check(f"fwd [{prec}]", jax.jit(got_fn)(xh, att_dst, att_src),
+              jax.jit(ref_fn)(xh, att_dst, att_src), ftol)
+        gr = jax.jit(jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                              argnums=(0, 1, 2)))(xh, att_dst, att_src)
+        gg = jax.jit(jax.grad(lambda *a: jnp.sum(got_fn(*a) ** 2),
+                              argnums=(0, 1, 2)))(xh, att_dst, att_src)
+        for name, a, b in zip(("dxh", "datt_dst", "datt_src"), gg, gr):
+            check(f"grad {name} [{prec}]", a, b, gtol)
+        if prec == "f32":
+            dfn = jax.jit(lambda xh: gat_aggregate_sparse_fused(
+                xh, att_dst, att_src, seed, tf, tb, 0.2))
+            ratio = float(jnp.sum(dfn(xh))
+                          / jnp.sum(jax.jit(got_fn)(xh, att_dst, att_src)))
+            ok = 0.9 < ratio < 1.1
+            if not ok:
+                FAILS.append("fused-gat dropout mean")
+            print(f"  {'dropout mean ratio':28s} {ratio:.4f}  "
+                  f"({'ok' if ok else 'FAIL'}, want ~1)")
+            gd = jax.jit(jax.grad(lambda xh: jnp.sum(dfn(xh) ** 2)))
+            check("dropout grad replay", gd(xh), gd(xh), 0.0)
+
+
+def mxu_pool_parity():
+    """One-hot MXU pooling (r5) vs segment_sum — fwd + grad, f32/bf16."""
+    print("MXU pool vs segment_sum:")
+    from cal_tpu.ops.pallas_pool import _BLOCK, mxu_pool
+
+    v, h, g = 16 * _BLOCK, 128, 129
+    rng = np.random.default_rng(19)
+    ng_np = np.sort(rng.integers(0, g, size=v)).astype(np.int32)
+    ng_np[-_BLOCK:] = g                        # padded nodes -> trash row
+    ng = jnp.asarray(ng_np)
+    for dtype, ftol, gtol in ((jnp.float32, 1e-6, 1e-5),
+                              (jnp.bfloat16, 1e-2, 5e-2)):
+        x = jnp.asarray(rng.standard_normal((v, h)), jnp.float32
+                        ).astype(dtype)
+        ref_fn = lambda x: jax.ops.segment_sum(
+            x.astype(jnp.float32), ng, num_segments=g + 1,
+            indices_are_sorted=True)[:g]
+        got_fn = lambda x: mxu_pool(x, ng, g + 1)[:g]
+        tag = "bf16" if dtype == jnp.bfloat16 else "f32"
+        check(f"fwd [{tag}]", jax.jit(got_fn)(x), jax.jit(ref_fn)(x), ftol)
+        gr = jax.jit(jax.grad(lambda a: jnp.sum(ref_fn(a) ** 2)))(x)
+        gg = jax.jit(jax.grad(lambda a: jnp.sum(got_fn(a) ** 2)))(x)
+        check(f"grad dx [{tag}]", np.asarray(gg, np.float32),
+              np.asarray(gr, np.float32), gtol)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
@@ -348,7 +458,10 @@ def main():
     adj_build_parity()
     spmm_parity()
     spmm_sigmoid_fused_parity()
+    plain_fused_parity()
     gat_sparse_parity()
+    gat_fused_chain_parity()
+    mxu_pool_parity()
     if FAILS:
         raise SystemExit(f"PARITY FAILURES: {FAILS}")
     print("all on-TPU kernel parities OK")

@@ -141,9 +141,18 @@ def gcn_aggregate(x, g, edge_weight=None, use_pallas: bool = True):
         edge_weight = ((1.0 - w) if edge_weight.negate else w).astype(
             x.dtype)
     if g.tiles is not None:
+        tf, tb = g.tiles
+        if edge_weight is None and tf.sglb is not None:
+            # unweighted backbone conv: whole norm chain in tile order — no
+            # [E]-order arrays (r5; profile_step attributed 5.3 ms/step to
+            # the XLA coef take/degree/dis ops of the generic path)
+            from cal_tpu.ops.pallas_spmm import (
+                gcn_aggregate_sparse_plain_pallas)
+
+            return gcn_aggregate_sparse_plain_pallas(
+                x, tf, tb, node_block=tf.node_block)
         from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_pallas
 
-        tf, tb = g.tiles
         return gcn_aggregate_sparse_pallas(
             x, g.senders, g.receivers, g.edge_mask, tf, tb, edge_weight,
             node_block=tf.node_block,

@@ -960,6 +960,73 @@ gcn_aggregate_sparse_sigmoid_pallas.defvjp(_sig_fwd, _sig_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Tile-order fused PLAIN (unweighted) aggregate (r5).
+#
+# The backbone convs (edge_weight=None) went through the generic
+# ``gcn_aggregate_sparse_pallas`` wrapper, which leaves the whole
+# coefficient chain in XLA [E]-order: profiling the packed SYNREDDIT-scale
+# CausalGCN step (benchmarks/profile_step, nesting-aware parser) attributed
+# 5.3 ms of the 20.5 ms step to exactly four ops — the fwd/bwd
+# ``take(coef_ext, perm)`` permutations (1.5 ms each), the sender-degree
+# ``segment_sum`` (0.8 ms) and the two ``dis[senders]``/``dis[receivers]``
+# gathers (0.7 ms each; all CSE'd across the three layers).  Running the
+# chain in tile-slot order from the plans' global endpoint columns removes
+# every [E]-order array; the unweighted coefficients carry no gradient, so
+# the VJP needs no SDDMM/dcoef at all — just the transposed-plan SpMM.
+# Reference semantics: gcn_conv.py:44-70 norm with edge_weight None.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gcn_aggregate_sparse_plain_pallas(x, tiles_fwd, tiles_bwd,
+                                      node_block=NODE_BLOCK):
+    """Unweighted GCN aggregate (reference gcn_conv.py:44-70 norm with
+    w_e = 1) with the whole per-edge chain in tile-slot order — the
+    backbone-conv sibling of ``gcn_aggregate_sparse_sigmoid_pallas``.
+    Differentiable in x only (the norm is structure-only)."""
+    out, _ = _plain_fwd(x, tiles_fwd, tiles_bwd, node_block)
+    return out
+
+
+def _plain_coef(dis, tiles, num_nodes, node_block):
+    live = _live_f32(tiles, num_nodes)
+    g2 = tile_gather2(dis[None, :], dis[None, :], tiles, node_block)
+    return g2[:, 0, :] * live * g2[:, 1, :]
+
+
+def _plain_fwd(x, tiles_fwd, tiles_bwd, node_block):
+    num_nodes = x.shape[0]
+    x32 = x.astype(jnp.float32)
+    live = _live_f32(tiles_fwd, num_nodes)
+    slot = lambda v: v[:, None, :]
+    degA, _ = tile_scatter2(slot(live), slot(jnp.zeros_like(live)),
+                            tiles_fwd, num_nodes, node_block)
+    deg = degA[0] + 1.0                                    # sender degree
+    dis = jax.lax.rsqrt(deg)
+    g2 = tile_gather2(dis[None, :], dis[None, :], tiles_fwd, node_block)
+    coef = g2[:, 0, :] * live * g2[:, 1, :]
+    out = _spmm_call(x32, coef, tiles_fwd, node_block)
+    out = out + x32 * (1.0 / deg)[:, None]
+    return out.astype(x.dtype), (deg, dis, tiles_fwd, tiles_bwd)
+
+
+def _plain_bwd(node_block, res, gout):
+    deg, dis, tiles_fwd, tiles_bwd = res
+    num_nodes = deg.shape[0]
+    g32 = gout.astype(jnp.float32)
+    coef_b = _plain_coef(dis, tiles_bwd, num_nodes, node_block)
+    dx = _spmm_call(g32, coef_b, tiles_bwd, node_block)
+    dx = dx + g32 * (1.0 / deg)[:, None]
+    zeros_like_tiles = lambda t: jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
+    return (dx.astype(gout.dtype), zeros_like_tiles(tiles_fwd),
+            zeros_like_tiles(tiles_bwd))
+
+
+gcn_aggregate_sparse_plain_pallas.defvjp(_plain_fwd, _plain_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Tile-plan scalar gather/scatter kernels (r3).
 #
 # Profiling the tile-order sigmoid chain showed EVERY [V]-indexed XLA
@@ -1023,6 +1090,58 @@ def tile_gather2(a, b, tiles: SpmmTiles, node_block: int = NODE_BLOCK):
         interpret=_interpret(),
     )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
       a.astype(jnp.float32), b.astype(jnp.float32))
+
+
+def _tile_scatter_max_kernel(iarr, jarr, rloc_ref, val_ref, out_ref, *,
+                             node_block, k):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, -1e30)
+
+    # max is not a matmul: per head, broadcast the [T] slot values against
+    # the [T, NB] receiver one-hot and reduce-max over slots (VPU).  K is a
+    # small static head count, so the python loop unrolls.
+    iota = jax.lax.broadcasted_iota(jnp.int32, rloc_ref[0, 0].shape
+                                    + (node_block,), 1)
+    oh = rloc_ref[0, 0][:, None] == iota                   # [T, NB] bool
+    i0 = iarr[t] * node_block
+    for kk in range(k):
+        v = val_ref[0, kk]                                 # [T]
+        upd = jnp.max(jnp.where(oh, v[:, None], -1e30), axis=0)
+        cur = out_ref[kk, pl.ds(i0, node_block)]
+        out_ref[kk, pl.ds(i0, node_block)] = jnp.maximum(cur, upd)
+
+
+def tile_scatter_max(vals, tiles: SpmmTiles, num_nodes: int,
+                     node_block: int = NODE_BLOCK):
+    """Per-receiver max of per-slot values: [n_tiles, K, T] -> [K, V] f32,
+    initialised to -1e30 (receivers with no live slots keep it).  Dead
+    slots MUST already carry -1e30.  The output plane stays VMEM-resident
+    across the grid (the GAT segment-softmax max pass)."""
+    n_tiles, T = tiles.rloc.shape
+    k = vals.shape[1]
+    lift = lambda arr: arr.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, k, T), lambda t, i, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((k, num_nodes), lambda t, i, j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[vec_spec, vspec],
+        out_specs=full,
+    )
+    return pl.pallas_call(
+        functools.partial(_tile_scatter_max_kernel, node_block=node_block,
+                          k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, num_nodes), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, lift(tiles.rloc), vals.astype(jnp.float32))
 
 
 def _tile_scatter2_kernel(iarr, jarr, sloc_ref, rloc_ref, va_ref, vb_ref,

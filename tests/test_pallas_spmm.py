@@ -314,6 +314,133 @@ def test_gat_sparse_pallas_dropout_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def _gat_fused_setup(rng, V=256, E=600):
+    x, senders, receivers, edge_mask, _ = _workload(rng, V=V, E=E, H=32)
+    heads, d = 4, 8
+    xh = x.reshape(V, heads, d)
+    att_dst = jnp.asarray(rng.standard_normal((heads, d)).astype(np.float32))
+    att_src = jnp.asarray(rng.standard_normal((heads, d)).astype(np.float32))
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    return xh, senders, receivers, edge_mask, att_dst, att_src, tf, tb
+
+
+def test_gat_fused_matches_xla(rng):
+    """Tile-order fused GAT chain (r5) vs the pure-XLA sparse reference:
+    fwd + grads in xh, att_dst, att_src (no dropout)."""
+    from cal_tpu.ops.gat import (
+        gat_aggregate_sparse, gat_aggregate_sparse_fused)
+
+    (xh, senders, receivers, edge_mask, att_dst, att_src,
+     tf, tb) = _gat_fused_setup(rng)
+    seed = jnp.zeros((2,), jnp.uint32)
+
+    def ref_fn(xh, ad, asr):
+        return gat_aggregate_sparse(xh, senders, receivers, edge_mask,
+                                    ad, asr)
+
+    def got_fn(xh, ad, asr):
+        return gat_aggregate_sparse_fused(xh, ad, asr, seed, tf, tb,
+                                          0.0, NB)
+
+    ref = ref_fn(xh, att_dst, att_src)
+    got = got_fn(xh, att_dst, att_src)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                  argnums=(0, 1, 2))(xh, att_dst, att_src)
+    gg = jax.grad(lambda *a: jnp.sum(got_fn(*a) ** 2),
+                  argnums=(0, 1, 2))(xh, att_dst, att_src)
+    for a, b in zip(gg, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gat_fused_dropout_matches_hash_reference(rng):
+    """Dropout parity INCLUDING gradients: the [E]-order XLA reference is
+    given the SAME counter-hash keep masks the fused chain derives from
+    the edge ids, so fwd and grads must agree exactly — this also proves
+    the transposed-plan backward recomputes identical masks."""
+    from cal_tpu.ops.gat import (
+        _head_ids, _keep_mask, gat_aggregate_sparse_fused, segment_sum,
+        segment_max, NEG_SLOPE, _BIG_NEG)
+
+    (xh, senders, receivers, edge_mask, att_dst, att_src,
+     tf, tb) = _gat_fused_setup(rng, V=128, E=300)
+    V, heads, d = xh.shape
+    rate = 0.3
+    seed = jnp.asarray([123456789, 987654321], jnp.uint32)
+    # [E]-order masks from the same hash (edge id = position in the list)
+    eids = jnp.arange(senders.shape[0], dtype=jnp.int32)
+    emask = _keep_mask(_head_ids(eids, heads), seed, rate, 0) / (1 - rate)
+    smask = _keep_mask(
+        _head_ids(jnp.arange(V, dtype=jnp.int32), heads), seed, rate,
+        1) / (1 - rate)
+
+    def ref_fn(xh, ad, asr):
+        ti = jnp.einsum("vhd,hd->vh", xh, ad)
+        tj = jnp.einsum("vhd,hd->vh", xh, asr)
+        live = edge_mask & (senders != receivers)
+        score = jax.nn.leaky_relu(ti[receivers] + tj[senders], NEG_SLOPE)
+        score = jnp.where(live[:, None], score, _BIG_NEG)
+        self_score = jax.nn.leaky_relu(ti + tj, NEG_SLOPE)
+        seg_m = segment_max(score, receivers, V, True)
+        m = jnp.maximum(jnp.where(jnp.isfinite(seg_m), seg_m, _BIG_NEG),
+                        self_score)
+        num_e = jnp.where(live[:, None],
+                          jnp.exp(score - m[receivers]), 0.0)
+        num_self = jnp.exp(self_score - m)
+        denom = segment_sum(num_e, receivers, V, True) + num_self
+        alpha_e = num_e / denom[receivers] * emask
+        alpha_self = num_self / denom * smask
+        msg = alpha_e[..., None] * jnp.take(xh, senders, axis=0)
+        return segment_sum(msg, receivers, V, True) \
+            + alpha_self[..., None] * xh
+
+    def got_fn(xh, ad, asr):
+        return gat_aggregate_sparse_fused(xh, ad, asr, seed, tf, tb,
+                                          rate, NB)
+
+    ref = ref_fn(xh, att_dst, att_src)
+    got = got_fn(xh, att_dst, att_src)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                  argnums=(0, 1, 2))(xh, att_dst, att_src)
+    gg = jax.grad(lambda *a: jnp.sum(got_fn(*a) ** 2),
+                  argnums=(0, 1, 2))(xh, att_dst, att_src)
+    for a, b in zip(gg, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tile_scatter_max(rng):
+    """tile_scatter_max reproduces np maximum.at over live slots; dead
+    receivers keep the -1e30 init."""
+    from cal_tpu.ops.pallas_spmm import tile_scatter_max
+
+    x, senders, receivers, edge_mask, _ = _workload(rng)
+    V = x.shape[0]
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    k = 3
+    live = np.asarray(tf.sglb) < V
+    vals = rng.standard_normal((tf.sloc.shape[0], k,
+                                tf.sloc.shape[1])).astype(np.float32)
+    vals = np.where(live[:, None, :], vals, -1e30)
+    got = tile_scatter_max(jnp.asarray(vals), tf, V, node_block=NB)
+    want = np.full((k, V), -1e30, np.float32)
+    for kk in range(k):
+        np.maximum.at(want[kk], np.asarray(tf.rglb)[live],
+                      vals[:, kk, :][live])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
 def test_sigmoid_fused_matches_materialized(rng):
     """Tile-order fused sigmoid aggregate (r3) vs gcn_aggregate_sparse with
     the weights materialized per edge — fwd + grads in x, src, dst."""
@@ -351,6 +478,34 @@ def test_sigmoid_fused_matches_materialized(rng):
         for a, b in zip(gg, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=5e-5)
+
+
+def test_plain_fused_matches_sparse(rng):
+    """Tile-order fused UNWEIGHTED aggregate (r5, backbone convs) vs
+    gcn_aggregate_sparse with edge_weight=None — fwd + grad in x."""
+    from cal_tpu.ops.pallas_spmm import gcn_aggregate_sparse_plain_pallas
+
+    x, senders, receivers, edge_mask, _ = _workload(rng)
+    V = x.shape[0]
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+
+    def ref_fn(x):
+        return gcn_aggregate_sparse(x, senders, receivers, edge_mask, None)
+
+    def got_fn(x):
+        return gcn_aggregate_sparse_plain_pallas(x, tf, tb, node_block=NB)
+
+    np.testing.assert_allclose(np.asarray(got_fn(x)), np.asarray(ref_fn(x)),
+                               rtol=2e-5, atol=2e-5)
+    gr = jax.grad(lambda a: jnp.sum(ref_fn(a) ** 2))(x)
+    gg = jax.grad(lambda a: jnp.sum(got_fn(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                               rtol=5e-5, atol=5e-5)
 
 
 def test_tile_gather_scatter_roundtrip(rng):
@@ -441,3 +596,32 @@ def test_slim_hydrate_matches_eager(rng):
             np.testing.assert_array_equal(
                 np.asarray(getattr(hyd, f)), np.asarray(getattr(eager, f)),
                 err_msg=f)
+
+
+def test_mxu_pool_matches_segment_sum(rng):
+    """One-hot MXU pooling (r5, ops/pallas_pool.py) vs segment_sum —
+    fwd + grad, trash row sliced, f32 and bf16 inputs."""
+    from cal_tpu.ops.pallas_pool import _BLOCK, mxu_pool, pool_supported
+
+    V, H, G = 2 * _BLOCK, 128, 7
+    assert pool_supported(V, H)
+    bounds = np.sort(rng.choice(np.arange(1, V - 1), G - 1, replace=False))
+    ng = np.searchsorted(bounds, np.arange(V), side="right")
+    ng[-_BLOCK // 2:] = G                        # padded nodes -> trash row
+    ng = jnp.asarray(np.minimum(ng, G).astype(np.int32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((V, H)).astype(np.float32)
+                        ).astype(dtype)
+        ref_fn = lambda x: jax.ops.segment_sum(
+            x.astype(jnp.float32), ng, num_segments=G + 1,
+            indices_are_sorted=True)[:G]
+        got_fn = lambda x: mxu_pool(x, ng, G + 1)[:G]
+        tol = 1e-6 if dtype == jnp.float32 else 1e-2
+        np.testing.assert_allclose(np.asarray(got_fn(x)),
+                                   np.asarray(ref_fn(x)),
+                                   rtol=tol, atol=tol)
+        gr = jax.grad(lambda a: jnp.sum(ref_fn(a) ** 2))(x)
+        gg = jax.grad(lambda a: jnp.sum(got_fn(a) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(gg, np.float32), np.asarray(gr, np.float32),
+            rtol=tol * 10, atol=tol * 10)
