@@ -266,7 +266,23 @@ class GATConvLayer(nn.Module):
             assert isinstance(g, GraphBatch)
             v = x.shape[0]
             xh = (x @ w).reshape(v, self.heads, self.out_per_head)
-            if g.tiles is not None and self.use_flash:
+            if (g.tiles is not None and self.use_flash
+                    and g.tiles[0].sglb is not None):
+                # whole score/softmax chain in tile order (r5): no
+                # [E]-order XLA ops anywhere in fwd or bwd; dropout is a
+                # counter-hash of the edge id so the transposed-plan
+                # backward draws identical keep bits (ops/gat.py).
+                from cal_tpu.ops.gat import gat_aggregate_sparse_fused
+
+                tf, tb = g.tiles
+                rate = self.dropout if rng is not None else 0.0
+                seed = (jax.random.bits(rng, (2,), dtype=jnp.uint32)
+                        if rng is not None
+                        else jnp.zeros((2,), jnp.uint32))
+                out = gat_aggregate_sparse_fused(
+                    xh, att_dst, att_src, seed, tf, tb, rate,
+                    tf.node_block)
+            elif g.tiles is not None and self.use_flash:
                 from cal_tpu.ops.gat import gat_aggregate_sparse_pallas
 
                 tf, tb = g.tiles

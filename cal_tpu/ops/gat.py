@@ -22,8 +22,11 @@ shaped); the sparse layout is SDDMM + segment-softmax + SpMM.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cal_tpu.ops.segment import segment_max, segment_sum
 
@@ -182,3 +185,183 @@ def gat_aggregate_sparse_pallas(
                       tiles_fwd, tiles_bwd, heads, tiles_fwd.node_block)
     out = out.reshape(num_nodes, heads, d) + alpha_self[..., None] * xf
     return out.astype(xh.dtype)
+
+# ---------------------------------------------------------------------------
+# Tile-order fused sparse GAT chain (r5).
+#
+# ``gat_aggregate_sparse_pallas`` above keeps the score/softmax chain in XLA
+# [E, heads]-order: profiling the packed SYNREDDIT-scale CausalGAT step
+# (benchmarks/profile_step, nesting-aware parser) showed 61.3 ms/step with
+# ~30+ ms in exactly those ops — the [E]->[slots] coef take (2.9 ms), the
+# segment-max (1.1 ms) and the segment-sum scatter-adds (1.2-2.7 ms each),
+# times 3 layers, forward AND autodiffed backward.  This function runs the
+# WHOLE chain in tile-slot order from the plans' global endpoint columns
+# (the sparse-GAT sibling of pallas_spmm.gcn_aggregate_sparse_sigmoid_pallas):
+#
+#   * SDDMM scores: one tile_gather2 of the per-node halves tj/ti;
+#   * segment max:  tile_scatter_max (VMEM-resident receiver plane);
+#   * denominator:  tile_scatter2 of exp terms — and the normalizing
+#     DIVISION is algebraically folded OUT of the per-edge domain:
+#     out_v = (sum_e num_e x_s + num_self_v x_v) / denom[v], so the forward
+#     never gathers denom back to slots;
+#   * aggregation:  the multi-head tiled SpMM (coo_spmm_mh kernels).
+#
+# The hand-written VJP differentiates through the UNNORMALIZED weights
+# (q = num): dq = mask*SDDMM(x, gout/denom) + dD[r], with dD a plane op on
+# the saved output — no [E]-order array exists anywhere in fwd or bwd.
+#
+# Attention dropout cannot use positional PRNG (the backward recomputes the
+# weights in the TRANSPOSED plan's slot order, where the same edge lives at
+# a different position): keep bits are a counter-based hash of the EDGE id
+# (the plans' ``perm`` column) so both orders draw identical masks.
+# Reference semantics: PyG-1.1.0 GATConv (model.py:340), same numerics as
+# ``gat_aggregate_sparse`` — parity-tested in tests/test_pallas_spmm.py.
+# ---------------------------------------------------------------------------
+
+
+def _mix32(x, s0, s1):
+    """Murmur3-style avalanche finalizer over a uint32 counter + seed.
+
+    Consecutive counters must decorrelate fully: CLAUDE.md records a
+    measured ~1-point val-accuracy loss from correlated dropout streams
+    when adjacent integers were fed to a counter PRNG unmixed."""
+    x = x * np.uint32(0x9E3779B9) + s0
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13) ^ s1
+    x = x * np.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def _keep_mask(ids, seed, rate, salt):
+    """Per-id keep mask (1.0/0.0) at probability 1-rate; ids int32>=0."""
+    thresh = np.uint32(min((1.0 - rate) * 4294967296.0, 4294967295.0))
+    h = _mix32(ids.astype(jnp.uint32), seed[0],
+               seed[1] + np.uint32(0x632BE59B) * np.uint32(salt))
+    return (h < thresh).astype(jnp.float32)
+
+
+def _head_ids(base, heads):
+    """base [...] int32 edge/node ids -> [..., heads interleaved] ids."""
+    hr = jnp.arange(heads, dtype=jnp.int32)
+    return base[..., None, :] * heads + hr[:, None] if base.ndim == 2 \
+        else base[:, None] * heads + hr[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gat_aggregate_sparse_fused(xh, att_dst, att_src, seed, tiles_fwd,
+                               tiles_bwd, rate=0.0, node_block=512):
+    """Sparse multi-head GAT aggregate with the whole score/softmax chain
+    in tile-slot order (see block comment).  Differentiable in xh, att_dst,
+    att_src; ``seed`` is a uint32[2] dropout seed (ignored at rate=0)."""
+    out, _ = _gat_fused_fwd(xh, att_dst, att_src, seed, tiles_fwd,
+                            tiles_bwd, rate, node_block)
+    return out
+
+
+def _gat_fused_fwd(xh, att_dst, att_src, seed, tf, tb, rate, node_block):
+    from cal_tpu.ops.pallas_spmm import (
+        _spmm_mh_call, tile_gather2, tile_scatter2, tile_scatter_max)
+
+    V, h, d = xh.shape
+    f32 = jnp.float32
+    xf = xh.astype(f32)
+    ad, asr = att_dst.astype(f32), att_src.astype(f32)
+    ti = jnp.einsum("vhd,hd->vh", xf, ad)    # receiver half
+    tj = jnp.einsum("vhd,hd->vh", xf, asr)   # sender half
+    g1 = tile_gather2(tj.T, ti.T, tf, node_block)          # [n, 2h, T]
+    tjs, tir = g1[:, :h, :], g1[:, h:, :]
+    live = ((tf.sglb != tf.rglb) & (tf.sglb < V))[:, None, :]
+    pre = tir + tjs
+    score = jax.nn.leaky_relu(pre, NEG_SLOPE)
+    self_pre = ti + tj
+    self_score = jax.nn.leaky_relu(self_pre, NEG_SLOPE)    # [V, h]
+    m = tile_scatter_max(jnp.where(live, score, _BIG_NEG), tf, V,
+                         node_block)
+    m = jnp.maximum(m, self_score.T)                       # [h, V]
+    g2 = tile_gather2(jnp.zeros((1, V), f32), m, tf, node_block)
+    q = jnp.where(live, jnp.exp(score - g2[:, 1:, :]), 0.0)  # [n, h, T]
+    q_self = jnp.exp(self_score - m.T)                     # [V, h] in (0,1]
+    zrow = jnp.zeros_like(q[:, :1, :])
+    _, denP = tile_scatter2(zrow, q, tf, V, node_block)
+    denom = denP + q_self.T                                # [h, V] > 0
+    coef, self_coef = q, q_self
+    if rate > 0.0:
+        keep = 1.0 - rate
+        coef = coef * _keep_mask(_head_ids(tf.perm, h), seed, rate, 0) / keep
+        sids = jnp.arange(V, dtype=jnp.int32)
+        self_coef = self_coef * _keep_mask(
+            _head_ids(sids, h), seed, rate, 1) / keep
+    agg = _spmm_mh_call(xf.reshape(V, h * d), jnp.swapaxes(coef, 1, 2),
+                        tf, node_block, h)
+    agg = agg.reshape(V, h, d) + self_coef[:, :, None] * xf
+    out = agg / denom.T[:, :, None]
+    res = (xf, ad, asr, seed, ti, tj, m, denom, q, pre, self_pre, q_self,
+           out, tf, tb)
+    return out.astype(xh.dtype), res
+
+
+def _gat_fused_bwd(rate, node_block, res, gout):
+    from cal_tpu.ops.pallas_spmm import (
+        _sddmm_mh_call, _spmm_mh_call, tile_gather2, tile_scatter2)
+
+    (xf, ad, asr, seed, ti, tj, m, denom, q, pre, self_pre, q_self, out,
+     tf, tb) = res
+    V, h, d = xf.shape
+    f32 = jnp.float32
+    u = gout.astype(f32)
+    w = u / denom.T[:, :, None]                            # [V, h, d]
+    wflat, xflat = w.reshape(V, h * d), xf.reshape(V, h * d)
+    keep = 1.0 - rate
+
+    # dx through the message sum: transposed-plan SpMM with q rebuilt in
+    # the bwd plan's slot order (its a-side = original receivers).
+    g1b = tile_gather2(jnp.concatenate([ti.T, m], axis=0), tj.T, tb,
+                       node_block)                         # [nb, 3h, T]
+    tir_b, m_b, tjs_b = g1b[:, :h, :], g1b[:, h:2 * h, :], g1b[:, 2 * h:, :]
+    live_b = ((tb.sglb != tb.rglb) & (tb.sglb < V))[:, None, :]
+    q_b = jnp.where(live_b, jnp.exp(
+        jax.nn.leaky_relu(tir_b + tjs_b, NEG_SLOPE) - m_b), 0.0)
+    coef_b = q_b
+    if rate > 0.0:
+        coef_b = coef_b * _keep_mask(_head_ids(tb.perm, h), seed, rate,
+                                     0) / keep
+    dx = _spmm_mh_call(wflat, jnp.swapaxes(coef_b, 1, 2), tb, node_block,
+                       h).reshape(V, h, d)
+
+    # d(q): mask * SDDMM(x, w) + dD gathered at the receiver, where
+    # dD = -sum_d out*u/denom (denominator of every incoming term).
+    dqm = jnp.swapaxes(_sddmm_mh_call(xflat, wflat, tf, node_block, h),
+                       1, 2)                               # [n, h, T]
+    if rate > 0.0:
+        dqm = dqm * _keep_mask(_head_ids(tf.perm, h), seed, rate, 0) / keep
+    dD = -(jnp.einsum("vhd,vhd->vh", out, u) / denom.T)    # [V, h]
+    g3 = tile_gather2(jnp.zeros((1, V), f32), dD.T, tf, node_block)
+    dq = dqm + g3[:, 1:, :]
+    dscore = q * dq                                        # 0 on dead slots
+    dpre = dscore * jnp.where(pre > 0, 1.0, NEG_SLOPE)
+    dtjP, dtiP = tile_scatter2(dpre, dpre, tf, V, node_block)
+
+    # self term: out_v += self_coef * x_v / denom
+    sdot = jnp.einsum("vhd,vhd->vh", xf, w)
+    if rate > 0.0:
+        sids = jnp.arange(V, dtype=jnp.int32)
+        smask = _keep_mask(_head_ids(sids, h), seed, rate, 1) / keep
+        dx = dx + (q_self * smask)[:, :, None] * w
+        dq_self = smask * sdot + dD
+    else:
+        dx = dx + q_self[:, :, None] * w
+        dq_self = sdot + dD
+    dself_pre = (q_self * dq_self) * jnp.where(self_pre > 0, 1.0, NEG_SLOPE)
+
+    dti = dtiP.T + dself_pre                               # [V, h]
+    dtj = dtjP.T + dself_pre
+    dxh = dx + dti[:, :, None] * ad[None] + dtj[:, :, None] * asr[None]
+    datt_dst = jnp.einsum("vh,vhd->hd", dti, xf)
+    datt_src = jnp.einsum("vh,vhd->hd", dtj, xf)
+    zf0 = lambda t: jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
+    return (dxh, datt_dst, datt_src, zf0(seed), zf0(tf), zf0(tb))
+
+
+gat_aggregate_sparse_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
