@@ -101,6 +101,13 @@ def global_add_pool(x, g):
             x.astype(jnp.float32), g.node_graph, g.num_graphs + 1)
         return pooled[: g.num_graphs]
     assert isinstance(g, GraphBatch)
+    from cal_tpu.ops.pallas_pool import mxu_pool, pool_supported
+
+    if pool_supported(x.shape[0], x.shape[1]):
+        # per-block one-hot MXU matmul instead of the XLA scatter-add,
+        # which ran at ~29 GB/s on the packed production step (r5;
+        # ops/pallas_pool.py) — same f32 accumulation contract.
+        return mxu_pool(x, g.node_graph, g.num_graphs + 1)[: g.num_graphs]
     pooled = segment_sum(
         x.astype(jnp.float32), g.node_graph, g.num_graphs + 1,
         indices_are_sorted=True
