@@ -443,46 +443,67 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
 
     model = get_model(cfg, 0, num_classes)
     fold_indices = k_fold(labels, folds, cfg.epoch_select)
-    steps_per_epoch = -(-len(fold_indices[0][0]) // cfg.batch_size)
-    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs, steps_per_epoch,
-                        cfg.weight_decay)
+
+    # budget-packed batching composes with the vmapped fold axis (r5,
+    # VERDICT r4 item 5): every fold's packed epoch is already a
+    # fixed-step-count scanned stack (loader pads with fully-masked
+    # batches, gated to no-ops in train/steps.py) — equalizing the step
+    # and tile budgets to the max over folds makes all fold stacks one
+    # static shape, so vmap applies unchanged.
+    pack = _want_pack(cfg, graphs)
+    if pack:
+        from cal_tpu.data.loader import compute_packed_budgets
+
+        budgets = compute_packed_budgets(graphs, cfg.batch_size)
+    else:
+        budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
+    tiles = "auto" if cfg.use_pallas else False
+    prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
+    if tiles == "auto" and pack:
+        # resolve the data-driven tile decision ONCE on the full dataset —
+        # per-fold "auto" could diverge and break the shared fold stack
+        tiles = Loader(graphs, cfg.batch_size, shuffle=False,
+                       layout=cfg.layout, budgets=dict(budgets),
+                       spmm_tiles="auto", spmm_precision=prec).spmm_tiles
+
+    train_loaders, test_loaders = [], []
+    for train_idx, test_idx, _val_idx in zip(*fold_indices):
+        train_set = [graphs[i] for i in train_idx]
+        test_set = [graphs[i] for i in test_idx]
+        train_loaders.append(Loader(
+            train_set, cfg.batch_size, shuffle=True, layout=cfg.layout,
+            budgets=budgets, seed=cfg.seed + len(train_loaders),
+            spmm_tiles=tiles, spmm_precision=prec))
+        test_loaders.append(Loader(
+            test_set, cfg.batch_size, shuffle=False, layout=cfg.layout,
+            budgets=budgets, seed=0, spmm_tiles=tiles, spmm_precision=prec))
+    if pack:
+        for group in (train_loaders, test_loaders):
+            steps = max(tl._steps_budget for tl in group)
+            for tl in group:
+                tl._steps_budget = steps
+            if any(tl.spmm_tiles for tl in group):
+                tbud = max(tl._tile_budget for tl in group)
+                for tl in group:
+                    tl._tile_budget = tbud
+
+    tx = make_optimizer(cfg.lr, cfg.min_lr, cfg.epochs,
+                        train_loaders[0].schedule_steps, cfg.weight_decay)
     epoch_folds = make_causal_train_epoch_folds(
         model, tx, cfg.c, cfg.o, cfg.co, cfg.with_random)
     eval_folds = make_causal_eval_epoch_folds(model, cfg.eval_random)
     init_fn = make_init_fn(model, causal=True)
 
-    # fold-parallel does NOT compose with budget-packed batching: packing
-    # closes batches early per fold, so fold batch counts (and step
-    # semantics) would diverge across the vmapped fold axis.  Heavy-tailed
-    # datasets get worst-case budgets here (the HBM-footprint guard below
-    # catches the ones that can't afford that).
-    if _want_pack(cfg, graphs):
-        print("fold_parallel: budget-packed batching not supported on the "
-              "vmapped fold axis - using worst-case budgets "
-              "(run without --fold_parallel for packing)")
-    budgets = compute_budgets(graphs, cfg.batch_size, cfg.layout)
-    tiles = "auto" if cfg.use_pallas else False
-    prec = "bf16" if cfg.dtype == "bfloat16" else "f32"
-    train_loaders, test_stacks, states, host_rngs = [], [], [], []
-    for fold, (train_idx, test_idx, _val_idx) in enumerate(
-        zip(*fold_indices)
-    ):
-        train_set = [graphs[i] for i in train_idx]
-        test_set = [graphs[i] for i in test_idx]
-        tl = Loader(train_set, cfg.batch_size, shuffle=True,
-                    layout=cfg.layout, budgets=budgets, seed=cfg.seed + fold,
-                    spmm_tiles=tiles, spmm_precision=prec)
-        train_loaders.append(tl)
-        test_stacks.append(list(Loader(
-            test_set, cfg.batch_size, shuffle=False, layout=cfg.layout,
-            budgets=budgets, seed=0, spmm_tiles=tiles,
-            spmm_precision=prec).host_batches()))
+    test_stacks, states, host_rngs = [], [], []
+    for fold, (tl, te) in enumerate(zip(train_loaders, test_loaders)):
+        test_stacks.append(list(te.host_batches()))
         rng = jax.random.PRNGKey(cfg.seed + fold)
         rng, init_rng = jax.random.split(rng)
         host_rngs.append(rng)
         states.append(init_state(model, tx, next(iter(tl)), init_rng,
                                  init_fn=init_fn))
 
+    steps_per_epoch = len(train_loaders[0])
     counts = {len(tl) for tl in train_loaders}
     if len(counts) != 1:
         raise ValueError(
@@ -496,6 +517,7 @@ def train_causal_real_folds(dataset, num_classes: int, cfg: Config,
     # shuffle RNG and desync the epoch stream from the sequential protocol)
     tl0 = train_loaders[0]
     b0 = tl0._make_batch_host(
+        tl0._sim_chunkings[0][0] if pack else
         np.arange(min(cfg.batch_size, tl0.num_graphs)))
     batch_bytes = sum(a.nbytes for a in jax.tree.leaves(b0))
     sharded_folds = folds // max(cfg.mesh_dp, 1)
