@@ -60,3 +60,36 @@ def global_batch(local_batch, mesh: Mesh):
         )
 
     return jax.tree.map(assemble, local_batch, specs)
+
+
+def global_stacked(stacked, mesh: Mesh):
+    """Assemble a logically-global dp-sharded packed epoch stack
+    (``train.steps.stack_batches_host`` result: leading scan axis,
+    per-batch dims as in ``batch_pspecs``).
+
+    The packed-epoch contract is that the pack plan is a pure function of
+    (dataset, seed), so EVERY host builds the same full stacked epoch and
+    contributes only its contiguous dp slice of each sharded axis here —
+    the multi-host analog of ``parallel.shard_stacked`` (at
+    ``process_count == 1`` the two produce identical arrays;
+    tests/test_multihost.py).  Plans that don't survive dp sharding (block-
+    COO tile plans index the global node space) are stripped exactly as in
+    the single-process path (``mesh.normalize_for_mesh``)."""
+    from cal_tpu.parallel.mesh import normalize_for_mesh
+
+    stacked = normalize_for_mesh(stacked)
+    specs = batch_pspecs(stacked)
+    n, i = jax.process_count(), jax.process_index()
+
+    def assemble(x, spec):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(None, *spec))
+        if len(spec) and spec[0] is not None:   # axis 0 is the scan axis
+            per, rem = divmod(x.shape[1], n)
+            if rem:
+                raise ValueError(
+                    f"sharded dim {x.shape[1]} not divisible by {n} hosts")
+            x = x[:, i * per:(i + 1) * per]
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(assemble, stacked, specs)

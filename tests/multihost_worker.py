@@ -38,8 +38,90 @@ NODE_BUDGET = 16
 N_GRAPHS = 16
 N_PROCS = 2
 
+# --- packed-sparse scenario (VERDICT r4 weak #7): the flagship layout —
+# budget-packed sparse batches with slim block-COO tile plans — crossing a
+# real OS process boundary through ``multihost.global_stacked``. ---
+PACKED_N_GRAPHS = 24
+PACKED_BATCH = 8
+PACKED_SEED = 11
 
-def main(proc_id: int, port: str) -> None:
+
+def make_packed_graphs(feat: int = 10, seed: int = PACKED_SEED):
+    """Deterministic heavy-tailed graphs so ``compute_packed_budgets``
+    engages pack mode (a few large graphs among many small ones)."""
+    import numpy as np
+
+    from cal_tpu.graph import HostGraph
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for g in range(PACKED_N_GRAPHS):
+        n = int(rng.integers(40, 56)) if g % 8 == 0 else int(rng.integers(5, 11))
+        mask = np.triu(rng.random((n, n)) < (0.1 if n > 16 else 0.5), 1)
+        us, vs = np.nonzero(mask)
+        out.append(HostGraph(
+            x=rng.standard_normal((n, feat)).astype(np.float32),
+            senders=np.concatenate([us, vs]).astype(np.int32),
+            receivers=np.concatenate([vs, us]).astype(np.int32),
+            y=int(rng.integers(4)),
+        ))
+    return out
+
+
+def packed_stack_and_cfg():
+    """The full packed epoch stack + config — identical on every process
+    (pack plan is a pure function of dataset + seed), shared with the
+    single-process pytest reference."""
+    import math
+
+    from cal_tpu.data.loader import Loader, compute_packed_budgets
+    from cal_tpu.train.steps import stack_batches_host
+    from cal_tpu.utils.config import Config
+
+    graphs = make_packed_graphs()
+    bud = compute_packed_budgets(graphs, PACKED_BATCH)
+    assert bud["pack"], bud
+    # dp sharding splits node/edge dims over 8 devices; tile plans need
+    # NODE_BLOCK-aligned budgets (same rounding as __graft_entry__ phase 3)
+    r = lambda v, m: -(-v // m) * m
+    bud["node_budget"] = r(bud["node_budget"], math.lcm(512, 8))
+    bud["edge_budget"] = r(bud["edge_budget"], math.lcm(128, 8))
+    loader = Loader(graphs, PACKED_BATCH, shuffle=False, layout="sparse",
+                    budgets=bud, spmm_tiles=True)
+    host = list(loader.host_batches())
+    assert host[0].tiles is not None and host[0].tiles[0].sloc is None, (
+        "flagship path must ship SLIM plans")
+    cfg = Config(model="CausalGCN", hidden=16, layers=2, layout="sparse",
+                 batch_size=PACKED_BATCH)
+    return stack_batches_host(host), host[0], cfg
+
+
+def run_packed(proc_id: int) -> None:
+    import jax
+    import numpy as np
+
+    from cal_tpu.models.factory import get_model
+    from cal_tpu.parallel import make_mesh, multihost, replicate
+    from cal_tpu.train.optim import make_optimizer
+    from cal_tpu.train.steps import init_state, make_causal_train_epoch
+
+    stacked, first, cfg = packed_stack_and_cfg()
+    mesh = make_mesh(dp=8, edge=1)
+    gstacked = multihost.global_stacked(stacked, mesh)
+
+    model = get_model(cfg, 0, 4)
+    tx = make_optimizer(cfg.lr, cfg.min_lr, 2, 1, 0.0)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, tx, first, rng)   # shape+rng only -> identical
+    epoch = make_causal_train_epoch(model, tx, cfg.c, cfg.o, cfg.co, True,
+                                    skip_empty=True)
+    state, metrics = epoch(replicate(state, mesh), gstacked,
+                           replicate(rng, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    print(f"MHLOSS {proc_id} {float(metrics['loss']):.6f}", flush=True)
+
+
+def main(proc_id: int, port: str, scenario: str = "dense") -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -52,6 +134,10 @@ def main(proc_id: int, port: str) -> None:
                          process_id=proc_id)
     assert jax.process_count() == N_PROCS, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
+
+    if scenario == "packed":
+        run_packed(proc_id)
+        return
 
     from cal_tpu.graph import densify
     from cal_tpu.models.factory import get_model
@@ -79,4 +165,5 @@ def main(proc_id: int, port: str) -> None:
 if __name__ == "__main__":
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=4")
-    main(int(sys.argv[1]), sys.argv[2])
+    main(int(sys.argv[1]), sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else "dense")
