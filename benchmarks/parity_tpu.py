@@ -450,6 +450,59 @@ def mxu_pool_parity():
               np.asarray(gr, np.float32), gtol)
 
 
+def spmm_sigmoid_pair_parity():
+    """Dual-branch pair aggregate (r5) vs two single sigmoid aggregates —
+    fwd + grads in xc/xo/src/dst, f32 and bf16 tile modes."""
+    print("pair sigmoid SpMM vs two singles:")
+    from cal_tpu.ops.pallas_spmm import (
+        NODE_BLOCK, TILE_EDGES, build_tiles,
+        gcn_aggregate_sparse_sigmoid_pair_pallas,
+        gcn_aggregate_sparse_sigmoid_pallas, tile_budget_for)
+
+    v, e, h = 2048, 8192, 128
+    rng = np.random.default_rng(23)
+    senders = rng.integers(0, v, size=e)
+    receivers = np.sort(rng.integers(0, v, size=e))
+    edge_mask = np.arange(e) < int(e * 0.9)
+    xc = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    xo = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    dst = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    budget = tile_budget_for(e, v, NODE_BLOCK, TILE_EDGES)
+    for prec, ftol, gtol in (("f32", 1e-4, 1e-2), ("bf16", 2e-2, 5e-2)):
+        tf = build_tiles(senders, receivers, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+        tb = build_tiles(receivers, senders, v, tile_budget=budget,
+                         precision=prec, edge_mask=edge_mask)
+
+        def pair_loss(xc_, xo_, s_, d_):
+            oc, oo = gcn_aggregate_sparse_sigmoid_pair_pallas(
+                xc_, xo_, s_, d_, tf, tb)
+            return jnp.sum(oc ** 2) + 3.0 * jnp.sum(oo ** 2)
+
+        def single_loss(xc_, xo_, s_, d_):
+            oc = gcn_aggregate_sparse_sigmoid_pallas(
+                xc_, s_, d_, tf, tb, False)
+            oo = gcn_aggregate_sparse_sigmoid_pallas(
+                xo_, s_, d_, tf, tb, True)
+            return jnp.sum(oc ** 2) + 3.0 * jnp.sum(oo ** 2)
+
+        got = jax.jit(lambda *a: gcn_aggregate_sparse_sigmoid_pair_pallas(
+            *a, tf, tb))(xc, xo, src, dst)
+        ref = (jax.jit(lambda *a: gcn_aggregate_sparse_sigmoid_pallas(
+                   a[0], a[2], a[3], tf, tb, False))(xc, xo, src, dst),
+               jax.jit(lambda *a: gcn_aggregate_sparse_sigmoid_pallas(
+                   a[1], a[2], a[3], tf, tb, True))(xc, xo, src, dst))
+        check(f"fwd c [{prec}]", got[0], ref[0], ftol)
+        check(f"fwd o [{prec}]", got[1], ref[1], ftol)
+        gg = jax.jit(jax.grad(pair_loss, argnums=(0, 1, 2, 3)))(
+            xc, xo, src, dst)
+        gr = jax.jit(jax.grad(single_loss, argnums=(0, 1, 2, 3)))(
+            xc, xo, src, dst)
+        for name, a, b in zip(("dxc", "dxo", "dsrc", "ddst"), gg, gr):
+            check(f"grad {name} [{prec}]", a, b, gtol)
+
+
 def main():
     print(f"backend: {jax.default_backend()}")
     gat_parity()
@@ -458,6 +511,7 @@ def main():
     adj_build_parity()
     spmm_parity()
     spmm_sigmoid_fused_parity()
+    spmm_sigmoid_pair_parity()
     plain_fused_parity()
     gat_sparse_parity()
     gat_fused_chain_parity()

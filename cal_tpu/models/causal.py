@@ -126,6 +126,9 @@ class CausalGNN(nn.Module):
 
         # --- edge attention (model.py:97-104) ---
         ablate = self.backbone == "gcn"  # only CausalGCN has ablation branches
+        sparse_tiled = (
+            isinstance(g, GraphBatch) and g.tiles is not None
+            and g.tiles[0].sglb is not None)
         if ablate and self.without_edge_attention:
             if dense and self.use_pallas:
                 # sigma(0 + 0) = 0.5 exactly — the constant-0.5 ablation
@@ -158,9 +161,6 @@ class CausalGNN(nn.Module):
                 ),
                 (2,),
             )
-            sparse_tiled = (
-                isinstance(g, GraphBatch) and g.tiles is not None
-                and g.tiles[0].sglb is not None)
             w_c, w_o = edge_attention(
                 x, g, kernel[: self.hidden], kernel[self.hidden :], bias,
                 factored=(dense or sparse_tiled) and self.use_pallas,
@@ -202,14 +202,14 @@ class CausalGNN(nn.Module):
         from cal_tpu.ops.pallas_gcn import (
             SigmoidEdgeWeight, fused_gcn_dense_att_dual)
 
-        dual = (
-            dense and self.use_pallas
+        shared_factored = (
+            self.use_pallas
             and isinstance(w_c, SigmoidEdgeWeight)
             and isinstance(w_o, SigmoidEdgeWeight)
             and w_c.src is w_o.src and w_c.dst is w_o.dst
             and not w_c.negate and w_o.negate
         )
-        if dual:
+        if dense and shared_factored:
             # both masked convs in ONE dual-branch kernel: the [B, N, N]
             # adjacency (the step's largest tensor) is read once per
             # fwd/bwd instead of twice (ops/pallas_gcn.py dual section).
@@ -217,6 +217,20 @@ class CausalGNN(nn.Module):
             xo_t, bo = obj_conv(xo, transform_only=True)
             oc, oo = fused_gcn_dense_att_dual(
                 xc_t, xo_t, g.adj, w_c.src, w_c.dst)
+            xc = jax.nn.relu(oc + bc)
+            xo = jax.nn.relu(oo + bo)
+        elif sparse_tiled and shared_factored:
+            # sparse analog (r5): one [V, 2H] pair kernel — per-tile
+            # one-hot builds and the whole shared coefficient chain are
+            # paid once for both convs (ops/pallas_spmm.py pair section)
+            from cal_tpu.ops.pallas_spmm import (
+                gcn_aggregate_sparse_sigmoid_pair_pallas)
+
+            xc_t, bc = ctx_conv(xc, transform_only=True)
+            xo_t, bo = obj_conv(xo, transform_only=True)
+            tf, tb = g.tiles
+            oc, oo = gcn_aggregate_sparse_sigmoid_pair_pallas(
+                xc_t, xo_t, w_c.src, w_c.dst, tf, tb, tf.node_block)
             xc = jax.nn.relu(oc + bc)
             xo = jax.nn.relu(oo + bo)
         else:

@@ -1092,6 +1092,247 @@ def tile_gather2(a, b, tiles: SpmmTiles, node_block: int = NODE_BLOCK):
       a.astype(jnp.float32), b.astype(jnp.float32))
 
 
+# ---------------------------------------------------------------------------
+# Dual-branch ("pair") sigmoid aggregate (r5).
+#
+# The causal models run TWO masked convs per step over the SAME edge
+# structure with complementary weights: w_c = sigma(src[s]+dst[r]) and
+# w_o = 1 - w_c (models/causal.py:198-224; the dense layout already fuses
+# them — ops/pallas_gcn.py fused_gcn_dense_att_dual).  The r5 sweep
+# (benchmarks/sweep_pack_tiles) showed the sparse kernels are dominated by
+# PER-TILE fixed cost (in-kernel one-hot builds + grid overhead: ~1.6 us/tile
+# vs the 0.68 us bf16 MXU floor), so running the two convs as one kernel
+# with a [V, 2H] feature block amortizes every one-hot build, slot-array
+# load and grid step over twice the MXU work — and the whole coefficient
+# chain (endpoint gather, sigmoid, degree scatter, rsqrt gather) is shared
+# instead of computed once per conv.
+# ---------------------------------------------------------------------------
+
+
+def _spmm_pair_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
+                      x_ref, out_ref, *, mm_dtype, h):
+    del jarr
+    t = pl.program_id(0)
+    nb = out_ref.shape[0]
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    # per-half coefficient scale: lanes [0, h) carry branch 0, [h, 2h) 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, msg.shape, 1)
+    scale = jnp.where(lane < h, coef_ref[0, 0][:, None],
+                      coef_ref[0, 1][:, None])
+    msg = msg * scale
+    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(first[t] == 1)
+    def _():
+        out_ref[:] = upd
+
+    @pl.when(first[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + upd
+
+
+def _spmm_pair_call(x2, coef2, tiles, node_block, h):
+    """out2[r] += coef2[k] * x2[s] for both halves of a [V, 2h] block.
+
+    coef2: [n_tiles, 2, T] per-slot coefficients, one row per branch."""
+    n_tiles, T = tiles.sloc.shape
+    V, H2 = x2.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((1, 2, T), lambda t, i, j, f: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec_spec,
+            vec_spec,
+            coef_spec,
+            pl.BlockSpec((node_block, H2), lambda t, i, j, f: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, H2), lambda t, i, j, f: (i[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    # pre-cast to the matmul dtype at the call boundary: the streamed
+    # [NB, 2H] sender blocks are the kernel's dominant HBM traffic
+    return pl.pallas_call(
+        functools.partial(_spmm_pair_kernel, mm_dtype=mm_dtype, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, H2), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sloc), lift(tiles.rloc), coef2, x2.astype(mm_dtype))
+
+
+def _sddmm_pair_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref,
+                       dcoef_ref, *, mm_dtype, h):
+    del iarr, jarr
+    prec = _mm_precision(mm_dtype)
+    a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype),
+                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype),
+                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
+                precision=prec)
+    prod = a * b
+    lane = jax.lax.broadcasted_iota(jnp.int32, prod.shape, 1)
+    dcoef_ref[0, 0] = jnp.sum(jnp.where(lane < h, prod, 0.0), axis=1)
+    dcoef_ref[0, 1] = jnp.sum(jnp.where(lane >= h, prod, 0.0), axis=1)
+
+
+def _sddmm_pair_call(x2, g2, tiles, node_block, h):
+    """dcoef2[t, k, slot] = dot(g2[recv, kh:(k+1)h], x2[send, kh:(k+1)h])."""
+    n_tiles, T = tiles.sloc.shape
+    H2 = x2.shape[1]
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((node_block, H2), lambda t, i, j: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H2), lambda t, i, j: (i[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, T), lambda t, i, j: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sddmm_pair_kernel, mm_dtype=mm_dtype, h=h),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 2, T), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
+      x2.astype(mm_dtype), g2.astype(mm_dtype))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gcn_aggregate_sparse_sigmoid_pair_pallas(xc, xo, src, dst, tiles_fwd,
+                                             tiles_bwd,
+                                             node_block=NODE_BLOCK):
+    """BOTH masked causal convs in one pass: returns (out_c, out_o) where
+    out_c is the sigmoid-weighted aggregate of ``xc`` (w_c = sigma) and
+    out_o the complementary aggregate of ``xo`` (w_o = 1 - sigma), for the
+    shared attention logits src/dst — reference model.py:112-113, both
+    convs over the same edge_index with softmax-complementary weights.
+
+    Numerically identical to two ``gcn_aggregate_sparse_sigmoid_pallas``
+    calls (negate=False / True); parity-tested.  Differentiable in
+    xc, xo, src, dst."""
+    (oc, oo), _ = _pair_fwd(xc, xo, src, dst, tiles_fwd, tiles_bwd,
+                            node_block)
+    return oc, oo
+
+
+def _pair_fwd(xc, xo, src, dst, tiles_fwd, tiles_bwd, node_block):
+    num_nodes, h = xc.shape
+    f32 = jnp.float32
+    xc32, xo32 = xc.astype(f32), xo.astype(f32)
+    row = lambda v: v.astype(f32)[None, :]
+    g1 = tile_gather2(row(src), row(dst), tiles_fwd, node_block)
+    live = _live_f32(tiles_fwd, num_nodes)
+    sig = jax.nn.sigmoid(g1[:, 0, :] + g1[:, 1, :])
+    w_c = sig * live
+    w_o = (1.0 - sig) * live
+    degs, _ = tile_scatter2(jnp.stack([w_c, w_o], axis=1),
+                            jnp.zeros_like(w_c)[:, None, :],
+                            tiles_fwd, num_nodes, node_block)
+    deg = degs + 1.0                                       # [2, V]
+    dis = jax.lax.rsqrt(deg)
+    g2 = tile_gather2(dis, dis, tiles_fwd, node_block)     # [n, 4, T]
+    coef_c = g2[:, 0, :] * w_c * g2[:, 2, :]
+    coef_o = g2[:, 1, :] * w_o * g2[:, 3, :]
+    x2 = jnp.concatenate([xc32, xo32], axis=1)
+    out2 = _spmm_pair_call(x2, jnp.stack([coef_c, coef_o], axis=1),
+                           tiles_fwd, node_block, h)
+    oc = out2[:, :h] + xc32 / deg[0][:, None]
+    oo = out2[:, h:] + xo32 / deg[1][:, None]
+    res = (xc32, xo32, src, dst, w_c, w_o, g2, deg, dis,
+           tiles_fwd, tiles_bwd)
+    return (oc.astype(xc.dtype), oo.astype(xo.dtype)), res
+
+
+def _pair_bwd(node_block, res, gouts):
+    xc32, xo32, src, dst, w_c, w_o, g2, deg, dis, tiles_fwd, tiles_bwd = res
+    gc, go = gouts
+    num_nodes, h = xc32.shape
+    f32 = jnp.float32
+    gc32, go32 = gc.astype(f32), go.astype(f32)
+    row = lambda v: v.astype(f32)[None, :]
+    slot = lambda v: v[:, None, :]
+    inv = 1.0 / deg                                        # [2, V]
+    # self terms x_k / deg_k
+    dxc = gc32 * inv[0][:, None]
+    dxo = go32 * inv[1][:, None]
+    ddeg = jnp.stack([
+        -jnp.sum(gc32 * xc32, axis=1) * inv[0] * inv[0],
+        -jnp.sum(go32 * xo32, axis=1) * inv[1] * inv[1],
+    ])
+    # dx through the message sums: transposed-plan pair SpMM with the
+    # coefficients rebuilt in tiles_bwd slot order (tb was built with
+    # swapped endpoints, so its gathers come back (dst[r], src[s]))
+    h1 = tile_gather2(row(dst), row(src), tiles_bwd, node_block)
+    live_b = _live_f32(tiles_bwd, num_nodes)
+    sig_b = jax.nn.sigmoid(h1[:, 0, :] + h1[:, 1, :])
+    w_cb = sig_b * live_b
+    w_ob = (1.0 - sig_b) * live_b
+    h2 = tile_gather2(dis, dis, tiles_bwd, node_block)
+    coef_cb = h2[:, 0, :] * w_cb * h2[:, 2, :]
+    coef_ob = h2[:, 1, :] * w_ob * h2[:, 3, :]
+    gx2 = jnp.concatenate([gc32, go32], axis=1)
+    dx2 = _spmm_pair_call(gx2, jnp.stack([coef_cb, coef_ob], axis=1),
+                          tiles_bwd, node_block, h)
+    dxc = dxc + dx2[:, :h]
+    dxo = dxo + dx2[:, h:]
+    # chain backward per branch k:
+    #   coef_k = dis_k[s] * w_k * dis_k[r];  deg_k = 1 + sum_sender w_k;
+    #   dis_k = deg_k^-1/2
+    x2 = jnp.concatenate([xc32, xo32], axis=1)
+    dcoef2 = _sddmm_pair_call(x2, gx2, tiles_fwd, node_block, h)
+    dc_c, dc_o = dcoef2[:, 0, :], dcoef2[:, 1, :]
+    dis_cs, dis_os = g2[:, 0, :], g2[:, 1, :]
+    dis_cr, dis_or = g2[:, 2, :], g2[:, 3, :]
+    sA, sB = tile_scatter2(
+        jnp.stack([dc_c * w_c * dis_cr, dc_o * w_o * dis_or], axis=1),
+        jnp.stack([dc_c * w_c * dis_cs, dc_o * w_o * dis_os], axis=1),
+        tiles_fwd, num_nodes, node_block)
+    ddis = sA + sB                                         # [2, V]
+    ddeg = ddeg + ddis * (-0.5) * dis * inv                # d(deg^-1/2)
+    gd = tile_gather2(ddeg, jnp.zeros((1, num_nodes), f32),
+                      tiles_fwd, node_block)               # [n, 3, T]
+    dwv_c = dc_c * dis_cs * dis_cr + gd[:, 0, :]
+    dwv_o = dc_o * dis_os * dis_or + gd[:, 1, :]
+    # dw_c/dlogit = +sig(1-sig), dw_o/dlogit = -sig(1-sig); and
+    # sig(1-sig)*live == w_c*w_o (live in {0,1}), zeroing every dead-slot
+    # garbage term (gd gathers, dcoef) in one multiply
+    dpre = (dwv_c - dwv_o) * (w_c * w_o)
+    dsrcP, ddstP = tile_scatter2(slot(dpre), slot(dpre),
+                                 tiles_fwd, num_nodes, node_block)
+    zeros_like_tiles = lambda t: jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
+    return (dxc.astype(xc32.dtype), dxo.astype(xo32.dtype),
+            dsrcP[0].astype(src.dtype), ddstP[0].astype(dst.dtype),
+            zeros_like_tiles(tiles_fwd), zeros_like_tiles(tiles_bwd))
+
+
+gcn_aggregate_sparse_sigmoid_pair_pallas.defvjp(_pair_fwd, _pair_bwd)
+
+
 def _tile_scatter_max_kernel(iarr, jarr, rloc_ref, val_ref, out_ref, *,
                              node_block, k):
     t = pl.program_id(0)

@@ -625,3 +625,67 @@ def test_mxu_pool_matches_segment_sum(rng):
         np.testing.assert_allclose(
             np.asarray(gg, np.float32), np.asarray(gr, np.float32),
             rtol=tol * 10, atol=tol * 10)
+
+
+def test_sigmoid_pair_matches_two_singles(rng):
+    from cal_tpu.ops.pallas_spmm import (
+        gcn_aggregate_sparse_sigmoid_pair_pallas,
+        gcn_aggregate_sparse_sigmoid_pallas)
+
+    x, senders, receivers, edge_mask, _ = _workload(rng)
+    V, H = x.shape
+    xo = jnp.asarray(np.asarray(x)[::-1].copy())
+    src = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    oc, oo = gcn_aggregate_sparse_sigmoid_pair_pallas(
+        x, xo, src, dst, tf, tb, NB)
+    ref_c = gcn_aggregate_sparse_sigmoid_pallas(x, src, dst, tf, tb,
+                                                False, NB)
+    ref_o = gcn_aggregate_sparse_sigmoid_pallas(xo, src, dst, tf, tb,
+                                                True, NB)
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(ref_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oo), np.asarray(ref_o),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sigmoid_pair_grads_match_two_singles(rng):
+    from cal_tpu.ops.pallas_spmm import (
+        gcn_aggregate_sparse_sigmoid_pair_pallas,
+        gcn_aggregate_sparse_sigmoid_pallas)
+
+    x, senders, receivers, edge_mask, _ = _workload(rng, V=128, E=300)
+    V, H = x.shape
+    xo = jnp.asarray(np.asarray(x)[::-1].copy() * 0.5)
+    src = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    dst = jnp.asarray(rng.standard_normal(V).astype(np.float32))
+    tf = build_tiles(np.asarray(senders), np.asarray(receivers), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    tb = build_tiles(np.asarray(receivers), np.asarray(senders), V,
+                     node_block=NB, tile_edges=T,
+                     edge_mask=np.asarray(edge_mask))
+    # distinct cotangents per branch via asymmetric loss weights
+    def loss_pair(xc_, xo_, s_, d_):
+        oc, oo = gcn_aggregate_sparse_sigmoid_pair_pallas(
+            xc_, xo_, s_, d_, tf, tb, NB)
+        return jnp.sum(oc ** 2) + 3.0 * jnp.sum(jnp.abs(oo))
+
+    def loss_single(xc_, xo_, s_, d_):
+        oc = gcn_aggregate_sparse_sigmoid_pallas(xc_, s_, d_, tf, tb,
+                                                 False, NB)
+        oo = gcn_aggregate_sparse_sigmoid_pallas(xo_, s_, d_, tf, tb,
+                                                 True, NB)
+        return jnp.sum(oc ** 2) + 3.0 * jnp.sum(jnp.abs(oo))
+
+    gp = jax.grad(loss_pair, argnums=(0, 1, 2, 3))(x, xo, src, dst)
+    gs = jax.grad(loss_single, argnums=(0, 1, 2, 3))(x, xo, src, dst)
+    for a, b, name in zip(gp, gs, ("dxc", "dxo", "dsrc", "ddst")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
