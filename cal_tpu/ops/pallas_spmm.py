@@ -994,28 +994,94 @@ def _plain_coef(dis, tiles, num_nodes, node_block):
     return g2[:, 0, :] * live * g2[:, 1, :]
 
 
+def _plain_coef_spmm_kernel(iarr, jarr, first, sglb_ref, rglb_ref, sloc_ref,
+                            rloc_ref, srow_ref, rrow_ref, x_ref, out_ref, *,
+                            mm_dtype, num_nodes, node_block):
+    """Plain SpMM with the norm chain in-kernel: coef = dis[s]*live*dis[r]
+    from [1, V] row planes gathered with the pass's own one-hots."""
+    del jarr
+    t = pl.program_id(0)
+    nb = out_ref.shape[0]
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
+    gs = jax.lax.dot_general(
+        srow_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)[0]   # [T]
+    gr = jax.lax.dot_general(
+        rrow_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)[0]
+    live = _live_slot(sglb_ref[0, 0], rglb_ref[0, 0], num_nodes)
+    coef = gs * live * gr
+    msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    msg = msg * coef[:, None]
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(first[t] == 1)
+    def _():
+        out_ref[:] = upd
+
+    @pl.when(first[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + upd
+
+
+def _plain_coef_spmm_call(x, dis, tiles, node_block):
+    n_tiles, T = tiles.sloc.shape
+    V, H = x.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    row = dis.astype(jnp.float32)[None, :]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec, vec, vec, vec,
+            pl.BlockSpec((1, node_block), lambda t, i, j, f: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, node_block), lambda t, i, j, f: (0, i[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H), lambda t, i, j, f: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, H), lambda t, i, j, f: (i[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_plain_coef_spmm_kernel, mm_dtype=mm_dtype,
+                          num_nodes=V, node_block=node_block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, H), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      row, row, x.astype(mm_dtype))
+
+
 def _plain_fwd(x, tiles_fwd, tiles_bwd, node_block):
     num_nodes = x.shape[0]
     x32 = x.astype(jnp.float32)
-    live = _live_f32(tiles_fwd, num_nodes)
-    slot = lambda v: v[:, None, :]
-    degA, _ = tile_scatter2(slot(live), slot(jnp.zeros_like(live)),
-                            tiles_fwd, num_nodes, node_block)
-    deg = degA[0] + 1.0                                    # sender degree
+    # live sender degree via the pair stats kernel at zero logits:
+    # sigma(0) = 0.5 exactly, so each plane accumulates live/2 and the
+    # doubling is exact binary scaling (bit-identical to summing live)
+    zeros = jnp.zeros((num_nodes,), jnp.float32)
+    degs = _pair_stats_call(zeros, zeros, tiles_fwd, num_nodes, node_block)
+    deg = 2.0 * degs[0] + 1.0                              # sender degree
     dis = jax.lax.rsqrt(deg)
-    g2 = tile_gather2(dis[None, :], dis[None, :], tiles_fwd, node_block)
-    coef = g2[:, 0, :] * live * g2[:, 1, :]
-    out = _spmm_call(x32, coef, tiles_fwd, node_block)
+    out = _plain_coef_spmm_call(x32, dis, tiles_fwd, node_block)
     out = out + x32 * (1.0 / deg)[:, None]
     return out.astype(x.dtype), (deg, dis, tiles_fwd, tiles_bwd)
 
 
 def _plain_bwd(node_block, res, gout):
     deg, dis, tiles_fwd, tiles_bwd = res
-    num_nodes = deg.shape[0]
     g32 = gout.astype(jnp.float32)
-    coef_b = _plain_coef(dis, tiles_bwd, num_nodes, node_block)
-    dx = _spmm_call(g32, coef_b, tiles_bwd, node_block)
+    dx = _plain_coef_spmm_call(g32, dis, tiles_bwd, node_block)
     dx = dx + g32 * (1.0 / deg)[:, None]
     zeros_like_tiles = lambda t: jax.tree.map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
@@ -1109,21 +1175,107 @@ def tile_gather2(a, b, tiles: SpmmTiles, node_block: int = NODE_BLOCK):
 # ---------------------------------------------------------------------------
 
 
-def _spmm_pair_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
-                      x_ref, out_ref, *, mm_dtype, h):
-    del jarr
+# --- fully-fused pair kernels (r5b) ----------------------------------------
+# Step profiling after the first pair cut still showed ~0.46 ms PER LAUNCH
+# for every tile_gather2/tile_scatter2 chain kernel (8 launches/step): each
+# walks the whole tile grid rebuilding one-hots for a few tiny matmuls.
+# These kernels fold the per-slot coefficient chain INTO the main passes:
+# endpoint/dis values ride as [K, V] row planes gathered with the SAME
+# in-register one-hots the SpMM already builds, and liveness is recomputed
+# from the plans' global endpoint columns (sglb/rglb) with a [T] compare.
+# Launch count for the pair fwd+bwd drops from 9-10 to 5.
+
+
+def _live_slot(sglb, rglb, num_nodes):
+    # [T] f32 liveness from global endpoint ids (padding -> num_nodes)
+    return jnp.where((sglb != rglb) & (sglb < num_nodes), 1.0, 0.0)
+
+
+def _pair_stats_kernel(iarr, jarr, first, sglb_ref, rglb_ref, sloc_ref,
+                       rloc_ref, src_ref, dst_ref, deg_ref, *,
+                       node_block, mm_dtype, num_nodes):
+    """deg planes: deg[0/1, v] += sum over slots with sender v of w_c/w_o."""
+    t = pl.program_id(0)
+    del first
+
+    @pl.when(t == 0)
+    def _():
+        deg_ref[:] = jnp.zeros_like(deg_ref)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)   # [T, NB]
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    gs = jax.lax.dot_general(
+        src_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)[0]   # [T]
+    gr = jax.lax.dot_general(
+        dst_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)[0]
+    live = _live_slot(sglb_ref[0, 0], rglb_ref[0, 0], num_nodes)
+    sig = jax.nn.sigmoid(gs + gr)
+    w2 = jnp.stack([sig * live, (1.0 - sig) * live])       # [2, T]
+    upd = jnp.dot(w2.astype(mm_dtype), oh_s,
+                  preferred_element_type=jnp.float32, precision=prec)
+    deg_ref[:, pl.ds(jarr[t] * node_block, node_block)] += upd
+
+
+def _pair_stats_call(src, dst, tiles, num_nodes, node_block):
+    n_tiles, T = tiles.sloc.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec, vec, vec, vec,
+            pl.BlockSpec((1, node_block), lambda t, i, j, f: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, node_block), lambda t, i, j, f: (0, i[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, num_nodes), lambda t, i, j, f: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_pair_stats_kernel, node_block=node_block,
+                          mm_dtype=mm_dtype, num_nodes=num_nodes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_nodes), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      src.astype(jnp.float32)[None, :], dst.astype(jnp.float32)[None, :])
+
+
+def _pair_coef_spmm_kernel(iarr, jarr, first, sglb_ref, rglb_ref, sloc_ref,
+                           rloc_ref, srow_ref, rrow_ref, x_ref, out_ref, *,
+                           mm_dtype, h, num_nodes, node_block):
+    """Pair SpMM with the coefficient chain in-kernel.
+
+    srow/rrow: [3, V] row planes (logit, dis_c, dis_o) indexed by the
+    plan's sender/receiver block.  coef_k = dis_k[s] * w_k * dis_k[r] with
+    w_c = sigma(logit_s + logit_r) * live, w_o = (1 - sigma) * live."""
     t = pl.program_id(0)
     nb = out_ref.shape[0]
     prec = _mm_precision(mm_dtype)
     oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
+    gs = jax.lax.dot_general(
+        srow_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # [3, T]
+    gr = jax.lax.dot_general(
+        rrow_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    live = _live_slot(sglb_ref[0, 0], rglb_ref[0, 0], num_nodes)
+    sig = jax.nn.sigmoid(gs[0] + gr[0])
+    coef_c = gs[1] * (sig * live) * gr[1]
+    coef_o = gs[2] * ((1.0 - sig) * live) * gr[2]
     msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
                   preferred_element_type=jnp.float32, precision=prec)
-    # per-half coefficient scale: lanes [0, h) carry branch 0, [h, 2h) 1
     lane = jax.lax.broadcasted_iota(jnp.int32, msg.shape, 1)
-    scale = jnp.where(lane < h, coef_ref[0, 0][:, None],
-                      coef_ref[0, 1][:, None])
-    msg = msg * scale
-    oh_r = _onehot(rloc_ref[0, 0], nb, mm_dtype)
+    msg = msg * jnp.where(lane < h, coef_c[:, None], coef_o[:, None])
     upd = jax.lax.dot_general(
         oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
@@ -1137,88 +1289,198 @@ def _spmm_pair_kernel(iarr, jarr, first, sloc_ref, rloc_ref, coef_ref,
         out_ref[:] = out_ref[:] + upd
 
 
-def _spmm_pair_call(x2, coef2, tiles, node_block, h):
-    """out2[r] += coef2[k] * x2[s] for both halves of a [V, 2h] block.
+def _pair_coef_spmm_call(x2, logit_s, logit_r, dis, tiles, node_block, h):
+    """x2: [V, 2h]; logit_s/logit_r: [V]; dis: [2, V] per-branch rsqrt(deg).
 
-    coef2: [n_tiles, 2, T] per-slot coefficients, one row per branch."""
+    For the forward plan pass (logit_s, logit_r) = (src, dst); for the
+    transposed plan pass them swapped — the sigmoid argument and the
+    symmetric dis product are orientation-invariant per edge."""
     n_tiles, T = tiles.sloc.shape
     V, H2 = x2.shape
     lift = lambda a: a.reshape(n_tiles, 1, T)
-    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
-                            memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec((1, 2, T), lambda t, i, j, f: (t, 0, 0),
-                             memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
     mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    srow = jnp.concatenate([logit_s.astype(jnp.float32)[None, :], dis], 0)
+    rrow = jnp.concatenate([logit_r.astype(jnp.float32)[None, :], dis], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            vec_spec,
-            vec_spec,
-            coef_spec,
+            vec, vec, vec, vec,
+            pl.BlockSpec((3, node_block), lambda t, i, j, f: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, node_block), lambda t, i, j, f: (0, i[t]),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((node_block, H2), lambda t, i, j, f: (j[t], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((node_block, H2), lambda t, i, j, f: (i[t], 0),
                                memory_space=pltpu.VMEM),
     )
-    # pre-cast to the matmul dtype at the call boundary: the streamed
-    # [NB, 2H] sender blocks are the kernel's dominant HBM traffic
     return pl.pallas_call(
-        functools.partial(_spmm_pair_kernel, mm_dtype=mm_dtype, h=h),
+        functools.partial(_pair_coef_spmm_kernel, mm_dtype=mm_dtype, h=h,
+                          num_nodes=V, node_block=node_block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((V, H2), jnp.float32),
         interpret=_interpret(),
     )(tiles.iblk, tiles.jblk, tiles.first,
-      lift(tiles.sloc), lift(tiles.rloc), coef2, x2.astype(mm_dtype))
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      srow, rrow, x2.astype(mm_dtype))
 
 
-def _sddmm_pair_kernel(iarr, jarr, sloc_ref, rloc_ref, x_ref, g_ref,
-                       dcoef_ref, *, mm_dtype, h):
-    del iarr, jarr
+def _pair_sddmm_chain_kernel(iarr, jarr, sglb_ref, rglb_ref, sloc_ref,
+                             rloc_ref, srow_ref, rrow_ref, x_ref, g_ref,
+                             vec_ref, ddis_s_ref, ddis_r_ref, *,
+                             mm_dtype, h, num_nodes, node_block):
+    """dcoef chain head: per-slot dcoef_k = dot(g_k[r], x_k[s]); emits
+    dwv-partials + sfac per slot and accumulates both ddis row planes."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        ddis_s_ref[:] = jnp.zeros_like(ddis_s_ref)
+        ddis_r_ref[:] = jnp.zeros_like(ddis_r_ref)
+
     prec = _mm_precision(mm_dtype)
-    a = jnp.dot(_onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype),
-                g_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
-                precision=prec)
-    b = jnp.dot(_onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype),
-                x_ref[:].astype(mm_dtype), preferred_element_type=jnp.float32,
-                precision=prec)
+    oh_s = _onehot(sloc_ref[0, 0], x_ref.shape[0], mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], g_ref.shape[0], mm_dtype)
+    a = jnp.dot(oh_r, g_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec)
+    b = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec)
     prod = a * b
     lane = jax.lax.broadcasted_iota(jnp.int32, prod.shape, 1)
-    dcoef_ref[0, 0] = jnp.sum(jnp.where(lane < h, prod, 0.0), axis=1)
-    dcoef_ref[0, 1] = jnp.sum(jnp.where(lane >= h, prod, 0.0), axis=1)
+    dc_c = jnp.sum(jnp.where(lane < h, prod, 0.0), axis=1)
+    dc_o = jnp.sum(jnp.where(lane >= h, prod, 0.0), axis=1)
+    gs = jax.lax.dot_general(
+        srow_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # [3, T]
+    gr = jax.lax.dot_general(
+        rrow_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    live = _live_slot(sglb_ref[0, 0], rglb_ref[0, 0], num_nodes)
+    sig = jax.nn.sigmoid(gs[0] + gr[0])
+    w_c = sig * live
+    w_o = (1.0 - sig) * live
+    vec_ref[0, 0] = dc_c * gs[1] * gr[1]                   # dwv partial c
+    vec_ref[0, 1] = dc_o * gs[2] * gr[2]                   # dwv partial o
+    vec_ref[0, 2] = w_c * w_o                              # sig(1-sig)*live
+    vs = jnp.stack([dc_c * w_c * gr[1], dc_o * w_o * gr[2]])   # [2, T]
+    vr = jnp.stack([dc_c * w_c * gs[1], dc_o * w_o * gs[2]])
+    ddis_s_ref[:, pl.ds(jarr[t] * node_block, node_block)] += jnp.dot(
+        vs.astype(mm_dtype), oh_s, preferred_element_type=jnp.float32,
+        precision=prec)
+    ddis_r_ref[:, pl.ds(iarr[t] * node_block, node_block)] += jnp.dot(
+        vr.astype(mm_dtype), oh_r, preferred_element_type=jnp.float32,
+        precision=prec)
 
 
-def _sddmm_pair_call(x2, g2, tiles, node_block, h):
-    """dcoef2[t, k, slot] = dot(g2[recv, kh:(k+1)h], x2[send, kh:(k+1)h])."""
+def _pair_sddmm_chain_call(x2, g2, src, dst, dis, tiles, node_block, h):
     n_tiles, T = tiles.sloc.shape
-    H2 = x2.shape[1]
+    V, H2 = x2.shape
     lift = lambda a: a.reshape(n_tiles, 1, T)
-    vec_spec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
-                            memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
     mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    srow = jnp.concatenate([src.astype(jnp.float32)[None, :], dis], 0)
+    rrow = jnp.concatenate([dst.astype(jnp.float32)[None, :], dis], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            vec_spec,
-            vec_spec,
+            vec, vec, vec, vec,
+            pl.BlockSpec((3, node_block), lambda t, i, j: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, node_block), lambda t, i, j: (0, i[t]),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((node_block, H2), lambda t, i, j: (j[t], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((node_block, H2), lambda t, i, j: (i[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, T), lambda t, i, j: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, 3, T), lambda t, i, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, V), lambda t, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, V), lambda t, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
     )
-    out = pl.pallas_call(
-        functools.partial(_sddmm_pair_kernel, mm_dtype=mm_dtype, h=h),
+    return pl.pallas_call(
+        functools.partial(_pair_sddmm_chain_kernel, mm_dtype=mm_dtype, h=h,
+                          num_nodes=V, node_block=node_block),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 2, T), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 3, T), jnp.float32),
+                   jax.ShapeDtypeStruct((2, V), jnp.float32),
+                   jax.ShapeDtypeStruct((2, V), jnp.float32)],
         interpret=_interpret(),
-    )(tiles.iblk, tiles.jblk, lift(tiles.sloc), lift(tiles.rloc),
-      x2.astype(mm_dtype), g2.astype(mm_dtype))
-    return out
+    )(tiles.iblk, tiles.jblk,
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      srow, rrow, x2.astype(mm_dtype), g2.astype(mm_dtype))
+
+
+def _pair_dpre_kernel(iarr, jarr, first, sloc_ref, rloc_ref, vec_ref,
+                      ddeg_ref, dsrc_ref, ddst_ref, *, mm_dtype, node_block):
+    """Chain tail: dpre = (dwvp_c + ddeg_c[s] - dwvp_o - ddeg_o[s]) * sfac,
+    scattered into dsrc (by sender) and ddst (by receiver) planes."""
+    t = pl.program_id(0)
+    del first
+
+    @pl.when(t == 0)
+    def _():
+        dsrc_ref[:] = jnp.zeros_like(dsrc_ref)
+        ddst_ref[:] = jnp.zeros_like(ddst_ref)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    gd = jax.lax.dot_general(
+        ddeg_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # [2, T]
+    dpre = ((vec_ref[0, 0] + gd[0] - vec_ref[0, 1] - gd[1])
+            * vec_ref[0, 2])[None, :]                      # [1, T]
+    dsrc_ref[:, pl.ds(jarr[t] * node_block, node_block)] += jnp.dot(
+        dpre.astype(mm_dtype), oh_s, preferred_element_type=jnp.float32,
+        precision=prec)
+    ddst_ref[:, pl.ds(iarr[t] * node_block, node_block)] += jnp.dot(
+        dpre.astype(mm_dtype), oh_r, preferred_element_type=jnp.float32,
+        precision=prec)
+
+
+def _pair_dpre_call(vecs, ddeg, tiles, num_nodes, node_block):
+    n_tiles, T = tiles.sloc.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec, vec,
+            pl.BlockSpec((1, 3, T), lambda t, i, j, f: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, node_block), lambda t, i, j, f: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, num_nodes), lambda t, i, j, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_nodes), lambda t, i, j, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_pair_dpre_kernel, mm_dtype=mm_dtype,
+                          node_block=node_block),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, num_nodes), jnp.float32),
+                   jax.ShapeDtypeStruct((1, num_nodes), jnp.float32)],
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sloc), lift(tiles.rloc), vecs, ddeg)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -1243,38 +1505,23 @@ def _pair_fwd(xc, xo, src, dst, tiles_fwd, tiles_bwd, node_block):
     num_nodes, h = xc.shape
     f32 = jnp.float32
     xc32, xo32 = xc.astype(f32), xo.astype(f32)
-    row = lambda v: v.astype(f32)[None, :]
-    g1 = tile_gather2(row(src), row(dst), tiles_fwd, node_block)
-    live = _live_f32(tiles_fwd, num_nodes)
-    sig = jax.nn.sigmoid(g1[:, 0, :] + g1[:, 1, :])
-    w_c = sig * live
-    w_o = (1.0 - sig) * live
-    degs, _ = tile_scatter2(jnp.stack([w_c, w_o], axis=1),
-                            jnp.zeros_like(w_c)[:, None, :],
-                            tiles_fwd, num_nodes, node_block)
+    degs = _pair_stats_call(src, dst, tiles_fwd, num_nodes, node_block)
     deg = degs + 1.0                                       # [2, V]
     dis = jax.lax.rsqrt(deg)
-    g2 = tile_gather2(dis, dis, tiles_fwd, node_block)     # [n, 4, T]
-    coef_c = g2[:, 0, :] * w_c * g2[:, 2, :]
-    coef_o = g2[:, 1, :] * w_o * g2[:, 3, :]
     x2 = jnp.concatenate([xc32, xo32], axis=1)
-    out2 = _spmm_pair_call(x2, jnp.stack([coef_c, coef_o], axis=1),
-                           tiles_fwd, node_block, h)
+    out2 = _pair_coef_spmm_call(x2, src, dst, dis, tiles_fwd, node_block, h)
     oc = out2[:, :h] + xc32 / deg[0][:, None]
     oo = out2[:, h:] + xo32 / deg[1][:, None]
-    res = (xc32, xo32, src, dst, w_c, w_o, g2, deg, dis,
-           tiles_fwd, tiles_bwd)
+    res = (xc32, xo32, src, dst, deg, dis, tiles_fwd, tiles_bwd)
     return (oc.astype(xc.dtype), oo.astype(xo.dtype)), res
 
 
 def _pair_bwd(node_block, res, gouts):
-    xc32, xo32, src, dst, w_c, w_o, g2, deg, dis, tiles_fwd, tiles_bwd = res
+    xc32, xo32, src, dst, deg, dis, tiles_fwd, tiles_bwd = res
     gc, go = gouts
     num_nodes, h = xc32.shape
     f32 = jnp.float32
     gc32, go32 = gc.astype(f32), go.astype(f32)
-    row = lambda v: v.astype(f32)[None, :]
-    slot = lambda v: v[:, None, :]
     inv = 1.0 / deg                                        # [2, V]
     # self terms x_k / deg_k
     dxc = gc32 * inv[0][:, None]
@@ -1283,46 +1530,26 @@ def _pair_bwd(node_block, res, gouts):
         -jnp.sum(gc32 * xc32, axis=1) * inv[0] * inv[0],
         -jnp.sum(go32 * xo32, axis=1) * inv[1] * inv[1],
     ])
-    # dx through the message sums: transposed-plan pair SpMM with the
-    # coefficients rebuilt in tiles_bwd slot order (tb was built with
-    # swapped endpoints, so its gathers come back (dst[r], src[s]))
-    h1 = tile_gather2(row(dst), row(src), tiles_bwd, node_block)
-    live_b = _live_f32(tiles_bwd, num_nodes)
-    sig_b = jax.nn.sigmoid(h1[:, 0, :] + h1[:, 1, :])
-    w_cb = sig_b * live_b
-    w_ob = (1.0 - sig_b) * live_b
-    h2 = tile_gather2(dis, dis, tiles_bwd, node_block)
-    coef_cb = h2[:, 0, :] * w_cb * h2[:, 2, :]
-    coef_ob = h2[:, 1, :] * w_ob * h2[:, 3, :]
+    # dx through the message sums: transposed-plan pass with the logits
+    # swapped (tb's sender is the original receiver — the sigmoid argument
+    # and the symmetric dis product come out identical per edge)
     gx2 = jnp.concatenate([gc32, go32], axis=1)
-    dx2 = _spmm_pair_call(gx2, jnp.stack([coef_cb, coef_ob], axis=1),
-                          tiles_bwd, node_block, h)
+    dx2 = _pair_coef_spmm_call(gx2, dst, src, dis, tiles_bwd, node_block, h)
     dxc = dxc + dx2[:, :h]
     dxo = dxo + dx2[:, h:]
-    # chain backward per branch k:
+    # chain backward per branch k (one fused SDDMM pass):
     #   coef_k = dis_k[s] * w_k * dis_k[r];  deg_k = 1 + sum_sender w_k;
     #   dis_k = deg_k^-1/2
     x2 = jnp.concatenate([xc32, xo32], axis=1)
-    dcoef2 = _sddmm_pair_call(x2, gx2, tiles_fwd, node_block, h)
-    dc_c, dc_o = dcoef2[:, 0, :], dcoef2[:, 1, :]
-    dis_cs, dis_os = g2[:, 0, :], g2[:, 1, :]
-    dis_cr, dis_or = g2[:, 2, :], g2[:, 3, :]
-    sA, sB = tile_scatter2(
-        jnp.stack([dc_c * w_c * dis_cr, dc_o * w_o * dis_or], axis=1),
-        jnp.stack([dc_c * w_c * dis_cs, dc_o * w_o * dis_os], axis=1),
-        tiles_fwd, num_nodes, node_block)
-    ddis = sA + sB                                         # [2, V]
+    vecs, ddis_s, ddis_r = _pair_sddmm_chain_call(
+        x2, gx2, src, dst, dis, tiles_fwd, node_block, h)
+    ddis = ddis_s + ddis_r                                 # [2, V]
     ddeg = ddeg + ddis * (-0.5) * dis * inv                # d(deg^-1/2)
-    gd = tile_gather2(ddeg, jnp.zeros((1, num_nodes), f32),
-                      tiles_fwd, node_block)               # [n, 3, T]
-    dwv_c = dc_c * dis_cs * dis_cr + gd[:, 0, :]
-    dwv_o = dc_o * dis_os * dis_or + gd[:, 1, :]
-    # dw_c/dlogit = +sig(1-sig), dw_o/dlogit = -sig(1-sig); and
-    # sig(1-sig)*live == w_c*w_o (live in {0,1}), zeroing every dead-slot
-    # garbage term (gd gathers, dcoef) in one multiply
-    dpre = (dwv_c - dwv_o) * (w_c * w_o)
-    dsrcP, ddstP = tile_scatter2(slot(dpre), slot(dpre),
-                                 tiles_fwd, num_nodes, node_block)
+    # chain tail: dpre = (dwvp_c + ddeg_c[s] - dwvp_o - ddeg_o[s]) * sfac
+    # where sfac = sig(1-sig)*live (== w_c*w_o) zeroes every dead-slot
+    # garbage term (ddeg gathers, dcoef) in one multiply
+    dsrcP, ddstP = _pair_dpre_call(vecs, ddeg, tiles_fwd, num_nodes,
+                                   node_block)
     zeros_like_tiles = lambda t: jax.tree.map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), t)
     return (dxc.astype(xc32.dtype), dxo.astype(xo32.dtype),
