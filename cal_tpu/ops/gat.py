@@ -261,7 +261,7 @@ def gat_aggregate_sparse_fused(xh, att_dst, att_src, seed, tiles_fwd,
 
 def _gat_fused_fwd(xh, att_dst, att_src, seed, tf, tb, rate, node_block):
     from cal_tpu.ops.pallas_spmm import (
-        _spmm_mh_call, tile_gather2, tile_scatter2, tile_scatter_max)
+        _gat_coef_spmm_call, _gat_den_call, _gat_max_call)
 
     V, h, d = xh.shape
     f32 = jnp.float32
@@ -269,78 +269,55 @@ def _gat_fused_fwd(xh, att_dst, att_src, seed, tf, tb, rate, node_block):
     ad, asr = att_dst.astype(f32), att_src.astype(f32)
     ti = jnp.einsum("vhd,hd->vh", xf, ad)    # receiver half
     tj = jnp.einsum("vhd,hd->vh", xf, asr)   # sender half
-    g1 = tile_gather2(tj.T, ti.T, tf, node_block)          # [n, 2h, T]
-    tjs, tir = g1[:, :h, :], g1[:, h:, :]
-    live = ((tf.sglb != tf.rglb) & (tf.sglb < V))[:, None, :]
-    pre = tir + tjs
-    score = jax.nn.leaky_relu(pre, NEG_SLOPE)
     self_pre = ti + tj
     self_score = jax.nn.leaky_relu(self_pre, NEG_SLOPE)    # [V, h]
-    m = tile_scatter_max(jnp.where(live, score, _BIG_NEG), tf, V,
-                         node_block)
+    # per-slot scores/weights live only inside the kernels (r5c): the max,
+    # denominator and coef-SpMM passes each recompute them from the
+    # [heads, V] row planes — no [n_tiles, heads, T] intermediate exists
+    m = _gat_max_call(tj.T, ti.T, tf, V, node_block, NEG_SLOPE)
     m = jnp.maximum(m, self_score.T)                       # [h, V]
-    g2 = tile_gather2(jnp.zeros((1, V), f32), m, tf, node_block)
-    q = jnp.where(live, jnp.exp(score - g2[:, 1:, :]), 0.0)  # [n, h, T]
+    tim = jnp.concatenate([ti.T, m], axis=0)               # [2h, V]
+    denP = _gat_den_call(tj.T, tim, tf, V, node_block, NEG_SLOPE)
     q_self = jnp.exp(self_score - m.T)                     # [V, h] in (0,1]
-    zrow = jnp.zeros_like(q[:, :1, :])
-    _, denP = tile_scatter2(zrow, q, tf, V, node_block)
     denom = denP + q_self.T                                # [h, V] > 0
-    coef, self_coef = q, q_self
+    self_coef = q_self
     if rate > 0.0:
-        keep = 1.0 - rate
-        coef = coef * _keep_mask(_head_ids(tf.perm, h), seed, rate, 0) / keep
         sids = jnp.arange(V, dtype=jnp.int32)
         self_coef = self_coef * _keep_mask(
-            _head_ids(sids, h), seed, rate, 1) / keep
-    agg = _spmm_mh_call(xf.reshape(V, h * d), jnp.swapaxes(coef, 1, 2),
-                        tf, node_block, h)
+            _head_ids(sids, h), seed, rate, 1) / (1.0 - rate)
+    agg = _gat_coef_spmm_call(xf.reshape(V, h * d), tj.T, tim, seed, tf,
+                              node_block, h, NEG_SLOPE, True, rate)
     agg = agg.reshape(V, h, d) + self_coef[:, :, None] * xf
     out = agg / denom.T[:, :, None]
-    res = (xf, ad, asr, seed, ti, tj, m, denom, q, pre, self_pre, q_self,
-           out, tf, tb)
+    res = (xf, ad, asr, seed, ti, tj, m, denom, q_self, out, tf, tb)
     return out.astype(xh.dtype), res
 
 
 def _gat_fused_bwd(rate, node_block, res, gout):
     from cal_tpu.ops.pallas_spmm import (
-        _sddmm_mh_call, _spmm_mh_call, tile_gather2, tile_scatter2)
+        _gat_coef_spmm_call, _gat_sddmm_chain_call)
 
-    (xf, ad, asr, seed, ti, tj, m, denom, q, pre, self_pre, q_self, out,
-     tf, tb) = res
+    (xf, ad, asr, seed, ti, tj, m, denom, q_self, out, tf, tb) = res
     V, h, d = xf.shape
     f32 = jnp.float32
     u = gout.astype(f32)
     w = u / denom.T[:, :, None]                            # [V, h, d]
     wflat, xflat = w.reshape(V, h * d), xf.reshape(V, h * d)
     keep = 1.0 - rate
+    self_pre = ti + tj
+    tim = jnp.concatenate([ti.T, m], axis=0)               # [2h, V]
 
-    # dx through the message sum: transposed-plan SpMM with q rebuilt in
-    # the bwd plan's slot order (its a-side = original receivers).
-    g1b = tile_gather2(jnp.concatenate([ti.T, m], axis=0), tj.T, tb,
-                       node_block)                         # [nb, 3h, T]
-    tir_b, m_b, tjs_b = g1b[:, :h, :], g1b[:, h:2 * h, :], g1b[:, 2 * h:, :]
-    live_b = ((tb.sglb != tb.rglb) & (tb.sglb < V))[:, None, :]
-    q_b = jnp.where(live_b, jnp.exp(
-        jax.nn.leaky_relu(tir_b + tjs_b, NEG_SLOPE) - m_b), 0.0)
-    coef_b = q_b
-    if rate > 0.0:
-        coef_b = coef_b * _keep_mask(_head_ids(tb.perm, h), seed, rate,
-                                     0) / keep
-    dx = _spmm_mh_call(wflat, jnp.swapaxes(coef_b, 1, 2), tb, node_block,
-                       h).reshape(V, h, d)
+    # dx through the message sum: transposed-plan coef-SpMM (q rebuilt
+    # in-kernel; tb's sender side carries ti/m, its receiver side tj).
+    dx = _gat_coef_spmm_call(wflat, tim, tj.T, seed, tb, node_block, h,
+                             NEG_SLOPE, False, rate).reshape(V, h, d)
 
-    # d(q): mask * SDDMM(x, w) + dD gathered at the receiver, where
-    # dD = -sum_d out*u/denom (denominator of every incoming term).
-    dqm = jnp.swapaxes(_sddmm_mh_call(xflat, wflat, tf, node_block, h),
-                       1, 2)                               # [n, h, T]
-    if rate > 0.0:
-        dqm = dqm * _keep_mask(_head_ids(tf.perm, h), seed, rate, 0) / keep
+    # d(q) chain in ONE pass: dqm = mask * SDDMM(x, w); dq = dqm + dD[r];
+    # dpre = q * dq * leaky'; scattered into sender/receiver head planes.
     dD = -(jnp.einsum("vhd,vhd->vh", out, u) / denom.T)    # [V, h]
-    g3 = tile_gather2(jnp.zeros((1, V), f32), dD.T, tf, node_block)
-    dq = dqm + g3[:, 1:, :]
-    dscore = q * dq                                        # 0 on dead slots
-    dpre = dscore * jnp.where(pre > 0, 1.0, NEG_SLOPE)
-    dtjP, dtiP = tile_scatter2(dpre, dpre, tf, V, node_block)
+    rext = jnp.concatenate([ti.T, m, dD.T], axis=0)        # [3h, V]
+    dtjP, dtiP = _gat_sddmm_chain_call(xflat, wflat, tj.T, rext, seed, tf,
+                                       node_block, h, NEG_SLOPE, rate)
 
     # self term: out_v += self_coef * x_v / denom
     sdot = jnp.einsum("vhd,vhd->vh", xf, w)

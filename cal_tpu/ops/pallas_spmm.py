@@ -1560,6 +1560,358 @@ def _pair_bwd(node_block, res, gouts):
 gcn_aggregate_sparse_sigmoid_pair_pallas.defvjp(_pair_fwd, _pair_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused multi-head GAT chain kernels (r5c).
+#
+# The r5 tile-order GAT chain (ops/gat.py gat_aggregate_sparse_fused) still
+# paid ~10 chain launches per layer fwd+bwd (tile_gather2 / tile_scatter2 /
+# tile_scatter_max) plus big [n_tiles, heads, T] intermediates that show up
+# as 3.6 ms/step of device copies in the packed-sparse CausalGAT profile.
+# These kernels recompute the per-slot attention weights IN the main
+# passes from [heads, V] row planes (ti/tj/m), mirroring the pair-GCN
+# treatment: fwd = max pass + denom pass + coef-SpMM; bwd = coef-SpMM on
+# the transposed plan + one SDDMM-chain pass.  In-kernel attention dropout
+# uses the same Murmur-style counter hash of the plans' edge ids as the
+# XLA chain (ops/gat.py _mix32/_keep_mask), so fwd (tf order) and bwd
+# (tb order) draw identical masks.
+# ---------------------------------------------------------------------------
+
+
+def _hash_keep(ids_u32, s0, s1, rate, salt):
+    """[.., T] uint32 ids -> f32 keep mask at probability 1-rate (in-kernel
+    twin of ops/gat.py _keep_mask; same constants, same streams)."""
+    thresh = np.uint32(min((1.0 - rate) * 4294967296.0, 4294967295.0))
+    x = ids_u32 * np.uint32(0x9E3779B9) + s0
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13) ^ (s1 + np.uint32(0x632BE59B) * np.uint32(salt))
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x < thresh).astype(jnp.float32)
+
+
+def _gat_rows_spec(k, node_block, side):
+    idx = ((lambda t, i, j, f: (0, j[t])) if side == "s"
+           else (lambda t, i, j, f: (0, i[t])))
+    return pl.BlockSpec((k, node_block), idx, memory_space=pltpu.VMEM)
+
+
+def _gat_slot_q(gs, gr, gm, sglb, rglb, num_nodes, neg_slope):
+    """Per-slot unnormalized weights q = live * exp(leakyrelu(pre) - m)."""
+    live = (sglb != rglb) & (sglb < num_nodes)
+    pre = gs + gr
+    score = jnp.where(pre >= 0, pre, pre * neg_slope)
+    return jnp.where(live[None, :], jnp.exp(score - gm), 0.0)
+
+
+def _gat_max_kernel(iarr, jarr, first, sglb_ref, rglb_ref, sloc_ref,
+                    rloc_ref, tj_ref, ti_ref, m_ref, *,
+                    mm_dtype, heads, num_nodes, node_block, neg_slope):
+    del first
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    oh_rb = rloc_ref[0, 0][:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (rloc_ref[0, 0].shape[0], node_block), 1)   # [T, NB] bool
+    gs = jax.lax.dot_general(
+        tj_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [h, T]
+    gr = jax.lax.dot_general(
+        ti_ref[:].astype(mm_dtype), oh_rb.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    live = (sglb_ref[0, 0] != rglb_ref[0, 0]) & (sglb_ref[0, 0] < num_nodes)
+    pre = gs + gr
+    score = jnp.where(pre >= 0, pre, pre * neg_slope)
+    score = jnp.where(live[None, :], score, -1e30)
+    i0 = iarr[t] * node_block
+    for k in range(heads):
+        upd = jnp.max(jnp.where(oh_rb, score[k][:, None], -1e30), axis=0)
+        cur = m_ref[k, pl.ds(i0, node_block)]
+        m_ref[k, pl.ds(i0, node_block)] = jnp.maximum(cur, upd)
+
+
+def _gat_max_call(tj_rows, ti_rows, tiles, num_nodes, node_block,
+                  neg_slope):
+    """Receiver-plane max of the live edge scores: -> [heads, V] f32."""
+    n_tiles, T = tiles.sloc.shape
+    heads = tj_rows.shape[0]
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[vec, vec, vec, vec,
+                  _gat_rows_spec(heads, node_block, "s"),
+                  _gat_rows_spec(heads, node_block, "r")],
+        out_specs=pl.BlockSpec((heads, num_nodes), lambda t, i, j, f: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_max_kernel, mm_dtype=mm_dtype, heads=heads,
+                          num_nodes=num_nodes, node_block=node_block,
+                          neg_slope=neg_slope),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((heads, num_nodes), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      tj_rows.astype(jnp.float32), ti_rows.astype(jnp.float32))
+
+
+def _gat_den_kernel(iarr, jarr, first, sglb_ref, rglb_ref, sloc_ref,
+                    rloc_ref, tj_ref, tim_ref, den_ref, *,
+                    mm_dtype, heads, num_nodes, node_block, neg_slope):
+    del first
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    gs = jax.lax.dot_general(
+        tj_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [h, T]
+    grm = jax.lax.dot_general(
+        tim_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [2h, T]
+    q = _gat_slot_q(gs, grm[:heads], grm[heads:], sglb_ref[0, 0],
+                    rglb_ref[0, 0], num_nodes, neg_slope)
+    den_ref[:, pl.ds(iarr[t] * node_block, node_block)] += jnp.dot(
+        q.astype(mm_dtype), oh_r, preferred_element_type=jnp.float32,
+        precision=prec)
+
+
+def _gat_den_call(tj_rows, tim_rows, tiles, num_nodes, node_block,
+                  neg_slope):
+    """Receiver-plane sum of the unnormalized weights: -> [heads, V]."""
+    n_tiles, T = tiles.sloc.shape
+    heads = tj_rows.shape[0]
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[vec, vec, vec, vec,
+                  _gat_rows_spec(heads, node_block, "s"),
+                  _gat_rows_spec(2 * heads, node_block, "r")],
+        out_specs=pl.BlockSpec((heads, num_nodes), lambda t, i, j, f: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_den_kernel, mm_dtype=mm_dtype, heads=heads,
+                          num_nodes=num_nodes, node_block=node_block,
+                          neg_slope=neg_slope),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((heads, num_nodes), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first,
+      lift(tiles.sglb), lift(tiles.rglb), lift(tiles.sloc), lift(tiles.rloc),
+      tj_rows.astype(jnp.float32), tim_rows.astype(jnp.float32))
+
+
+def _gat_coef_spmm_kernel(iarr, jarr, first, seed_ref, perm_ref, sglb_ref,
+                          rglb_ref, sloc_ref, rloc_ref, srow_ref, rrow_ref,
+                          x_ref, out_ref, *, mm_dtype, heads, num_nodes,
+                          node_block, neg_slope, m_on_receiver, rate):
+    t = pl.program_id(0)
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    gsr = jax.lax.dot_general(
+        srow_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    grr = jax.lax.dot_general(
+        rrow_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    if m_on_receiver:        # fwd: srow = tj [h], rrow = (ti, m) [2h]
+        gs, gr, gm = gsr, grr[:heads], grr[heads:]
+    else:                    # bwd/tb: srow = (ti, m) [2h], rrow = tj [h]
+        gs, gr, gm = grr, gsr[:heads], gsr[heads:]
+    q = _gat_slot_q(gs, gr, gm, sglb_ref[0, 0], rglb_ref[0, 0],
+                    num_nodes, neg_slope)                       # [h, T]
+    if rate > 0.0:
+        hids = (perm_ref[0, 0].astype(jnp.uint32)[None, :]
+                * np.uint32(heads)
+                + jax.lax.broadcasted_iota(jnp.uint32, q.shape, 0))
+        q = q * _hash_keep(hids, seed_ref[0], seed_ref[1], rate, 0) / (
+            1.0 - rate)
+    msg = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                  preferred_element_type=jnp.float32, precision=prec)
+    bc = _bcast_matrix(heads, x_ref.shape[1], jnp.float32)
+    scale = jax.lax.dot_general(
+        q, bc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(jnp.float32))                   # [T, H]
+    msg = msg * scale
+    upd = jax.lax.dot_general(
+        oh_r, msg.astype(mm_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(first[t] == 1)
+    def _():
+        out_ref[:] = upd
+
+    @pl.when(first[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + upd
+
+
+def _gat_coef_spmm_call(x, srow, rrow, seed, tiles, node_block, heads,
+                        neg_slope, m_on_receiver, rate):
+    n_tiles, T = tiles.sloc.shape
+    V, H = x.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, f, s: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    ks, kr = srow.shape[0], rrow.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            vec, vec, vec, vec, vec,
+            pl.BlockSpec((ks, node_block), lambda t, i, j, f, s: (0, j[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kr, node_block), lambda t, i, j, f, s: (0, i[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H), lambda t, i, j, f, s: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, H),
+                               lambda t, i, j, f, s: (i[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_coef_spmm_kernel, mm_dtype=mm_dtype,
+                          heads=heads, num_nodes=V, node_block=node_block,
+                          neg_slope=neg_slope, m_on_receiver=m_on_receiver,
+                          rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, H), jnp.float32),
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, tiles.first, seed.astype(jnp.uint32),
+      lift(tiles.perm), lift(tiles.sglb), lift(tiles.rglb),
+      lift(tiles.sloc), lift(tiles.rloc),
+      srow.astype(jnp.float32), rrow.astype(jnp.float32),
+      x.astype(mm_dtype))
+
+
+def _gat_sddmm_chain_kernel(iarr, jarr, seed_ref, perm_ref, sglb_ref,
+                            rglb_ref, sloc_ref, rloc_ref, tj_ref, rext_ref,
+                            x_ref, w_ref, dtj_ref, dti_ref, *, mm_dtype,
+                            heads, num_nodes, node_block, neg_slope, rate):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dtj_ref[:] = jnp.zeros_like(dtj_ref)
+        dti_ref[:] = jnp.zeros_like(dti_ref)
+
+    prec = _mm_precision(mm_dtype)
+    oh_s = _onehot(sloc_ref[0, 0], node_block, mm_dtype)
+    oh_r = _onehot(rloc_ref[0, 0], node_block, mm_dtype)
+    a = jnp.dot(oh_r, w_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec)
+    b = jnp.dot(oh_s, x_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec)
+    bc = _bcast_matrix(heads, x_ref.shape[1], jnp.float32)
+    dqm = jax.lax.dot_general(
+        bc, a * b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(jnp.float32))                   # [h, T]
+    gs = jax.lax.dot_general(
+        tj_ref[:].astype(mm_dtype), oh_s, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [h, T]
+    grx = jax.lax.dot_general(
+        rext_ref[:].astype(mm_dtype), oh_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [3h, T]
+    gr, gm, gdD = grx[:heads], grx[heads:2 * heads], grx[2 * heads:]
+    live = (sglb_ref[0, 0] != rglb_ref[0, 0]) & (
+        sglb_ref[0, 0] < num_nodes)
+    pre = gs + gr
+    score = jnp.where(pre >= 0, pre, pre * neg_slope)
+    q = jnp.where(live[None, :], jnp.exp(score - gm), 0.0)
+    if rate > 0.0:
+        hids = (perm_ref[0, 0].astype(jnp.uint32)[None, :]
+                * np.uint32(heads)
+                + jax.lax.broadcasted_iota(jnp.uint32, q.shape, 0))
+        dqm = dqm * _hash_keep(hids, seed_ref[0], seed_ref[1], rate, 0) / (
+            1.0 - rate)
+    dq = dqm + gdD
+    dscore = q * dq
+    dpre = dscore * jnp.where(pre > 0, 1.0, neg_slope)
+    dtj_ref[:, pl.ds(jarr[t] * node_block, node_block)] += jnp.dot(
+        dpre.astype(mm_dtype), oh_s, preferred_element_type=jnp.float32,
+        precision=prec)
+    dti_ref[:, pl.ds(iarr[t] * node_block, node_block)] += jnp.dot(
+        dpre.astype(mm_dtype), oh_r, preferred_element_type=jnp.float32,
+        precision=prec)
+
+
+def _gat_sddmm_chain_call(x, w, tj_rows, rext_rows, seed, tiles,
+                          node_block, heads, neg_slope, rate):
+    """One pass: dqm = per-head SDDMM(x, w) (dropout-masked), q recomputed
+    in-kernel, dq = dqm + dD[r], dpre = q*dq*leaky', scattered into the
+    sender (dtj) and receiver (dti) [heads, V] planes."""
+    n_tiles, T = tiles.sloc.shape
+    V, H = x.shape
+    lift = lambda a: a.reshape(n_tiles, 1, T)
+    vec = pl.BlockSpec((1, 1, T), lambda t, i, j, s: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mm_dtype = jnp.bfloat16 if tiles.precision == "bf16" else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            vec, vec, vec, vec, vec,
+            _gat_rows_spec2(heads, node_block, "s"),
+            _gat_rows_spec2(3 * heads, node_block, "r"),
+            pl.BlockSpec((node_block, H), lambda t, i, j, s: (j[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, H), lambda t, i, j, s: (i[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((heads, V), lambda t, i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, V), lambda t, i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_sddmm_chain_kernel, mm_dtype=mm_dtype,
+                          heads=heads, num_nodes=V, node_block=node_block,
+                          neg_slope=neg_slope, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((heads, V), jnp.float32),
+                   jax.ShapeDtypeStruct((heads, V), jnp.float32)],
+        interpret=_interpret(),
+    )(tiles.iblk, tiles.jblk, seed.astype(jnp.uint32),
+      lift(tiles.perm), lift(tiles.sglb), lift(tiles.rglb),
+      lift(tiles.sloc), lift(tiles.rloc),
+      tj_rows.astype(jnp.float32), rext_rows.astype(jnp.float32),
+      x.astype(mm_dtype), w.astype(mm_dtype))
+
+
+def _gat_rows_spec2(k, node_block, side):
+    idx = ((lambda t, i, j, s: (0, j[t])) if side == "s"
+           else (lambda t, i, j, s: (0, i[t])))
+    return pl.BlockSpec((k, node_block), idx, memory_space=pltpu.VMEM)
+
+
 def _tile_scatter_max_kernel(iarr, jarr, rloc_ref, val_ref, out_ref, *,
                              node_block, k):
     t = pl.program_id(0)
