@@ -62,6 +62,52 @@ def _shard(batch, mesh):
     return shard_batch(batch, mesh)
 
 
+class _EpochPrefetcher:
+    """Pipeline host epoch prep against device execution (r5).
+
+    Attributing the SYNREDDIT 10-fold epoch (BASELINE.md r5): of the
+    2.8 s wall, device compute is only ~0.3 s — the rest is the host
+    C++-packer/tile-plan pass (~0.8 s), the leaf np.stack (~0.9 s) and
+    the 123 MB tunnel H2D (~1.5 s).  A single daemon producer runs
+    pack -> stack -> to_device for epoch N+1 while the device executes
+    epoch N, itself split in two stages (pack+stack | H2D) so the tunnel
+    transfer of epoch N+1 overlaps the packing of N+2 (bounded queues of
+    1 — at most two extra epoch stacks of host RAM).
+    The pack producer is the ONLY consumer of ``loader.host_batches``, so the
+    shuffle stream is drawn in exactly the sequential order; numerics
+    are unchanged (tests/test_train_smoke.py scan parity)."""
+
+    def __init__(self, loader, mesh):
+        import queue
+        import threading
+
+        self._hq = queue.Queue(maxsize=1)   # host stacks (pack+stack)
+        self._q = queue.Queue(maxsize=1)    # device stacks (after H2D)
+        self.loader, self.mesh = loader, mesh
+        for fn in (self._produce_host, self._produce_device):
+            threading.Thread(target=fn, daemon=True).start()
+
+    def _produce_host(self):
+        while True:
+            batches = list(self.loader.host_batches())
+            self._hq.put(stack_batches_host(batches) if batches else None)
+
+    def _produce_device(self):
+        while True:
+            stacked = self._hq.get()
+            if stacked is not None:
+                if self.mesh is None:
+                    stacked = to_device(stacked)
+                else:
+                    from cal_tpu.parallel import shard_stacked
+
+                    stacked = shard_stacked(stacked, self.mesh)
+            self._q.put(stacked)
+
+    def next(self):
+        return self._q.get()
+
+
 def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
     """Device-side epoch: one dispatch for the whole epoch (steps.py
     make_causal_train_epoch).  Identical numerics to _run_epoch.
@@ -69,17 +115,14 @@ def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
     Every layout stacks the epoch on HOST and ships one transfer per leaf
     (Loader/PartitionedLoader host_batches) — per-batch device_put launch
     latency otherwise dominates at small-graph scale; mesh runs shard each
-    stacked leaf directly (parallel.shard_stacked)."""
-    batches = list(loader.host_batches())
-    if not batches:
+    stacked leaf directly (parallel.shard_stacked).  Epoch prep for N+1
+    overlaps device execution of N (_EpochPrefetcher)."""
+    pf = getattr(loader, "_epoch_prefetcher", None)
+    if pf is None or pf.mesh is not mesh:
+        pf = loader._epoch_prefetcher = _EpochPrefetcher(loader, mesh)
+    stacked = pf.next()
+    if stacked is None:
         return state, (0.0, 0.0, 0.0, 0.0, 0.0)
-    stacked = stack_batches_host(batches)
-    if mesh is None:
-        stacked = to_device(stacked)
-    else:
-        from cal_tpu.parallel import shard_stacked
-
-        stacked = shard_stacked(stacked, mesh)
     state, m = epoch_fn(state, stacked, rng)
     n = max(float(m["n"]), 1.0)
     return state, (float(m["loss"]) / n, float(m["loss_c"]) / n,
