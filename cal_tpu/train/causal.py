@@ -81,20 +81,34 @@ class _EpochPrefetcher:
         import queue
         import threading
 
+        self._queue_mod = queue
         self._hq = queue.Queue(maxsize=1)   # host stacks (pack+stack)
         self._q = queue.Queue(maxsize=1)    # device stacks (after H2D)
         self.loader, self.mesh = loader, mesh
+        self._stop = False
         for fn in (self._produce_host, self._produce_device):
             threading.Thread(target=fn, daemon=True).start()
 
+    def _put(self, q, item):
+        while not self._stop:
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except self._queue_mod.Full:
+                pass
+
     def _produce_host(self):
-        while True:
+        while not self._stop:
             batches = list(self.loader.host_batches())
-            self._hq.put(stack_batches_host(batches) if batches else None)
+            self._put(self._hq, stack_batches_host(batches) if batches
+                      else None)
 
     def _produce_device(self):
-        while True:
-            stacked = self._hq.get()
+        while not self._stop:
+            try:
+                stacked = self._hq.get(timeout=0.2)
+            except self._queue_mod.Empty:
+                continue
             if stacked is not None:
                 if self.mesh is None:
                     stacked = to_device(stacked)
@@ -102,10 +116,28 @@ class _EpochPrefetcher:
                     from cal_tpu.parallel import shard_stacked
 
                     stacked = shard_stacked(stacked, self.mesh)
-            self._q.put(stacked)
+            self._put(self._q, stacked)
 
     def next(self):
         return self._q.get()
+
+    def close(self):
+        """Stop the producers and drop the queued epoch stacks — a fold's
+        loader would otherwise keep two extra epoch stacks (host RAM +
+        one shipped device copy) alive behind blocked daemon threads."""
+        self._stop = True
+        for q in (self._hq, self._q):
+            try:
+                q.get_nowait()
+            except self._queue_mod.Empty:
+                pass
+
+
+def _close_prefetcher(loader):
+    pf = getattr(loader, "_epoch_prefetcher", None)
+    if pf is not None:
+        pf.close()
+        loader._epoch_prefetcher = None
 
 
 def _run_epoch_scan(epoch_fn, state, loader, rng, mesh=None):
@@ -331,6 +363,7 @@ def train_causal_syn(
                     upd_ep, time.time() - t0,
                 )
             )
+    _close_prefetcher(train_loader)
     print(
         "syd: BIAS:[{:.2f}] | Val acc:[{:.2f}] Test acc:[co:{:.2f},c:{:.2f},o:{:.2f}] at epoch:[{}]".format(
             cfg.bias, val_acc_o * 100, upd_co * 100, upd_c * 100, upd_o * 100, upd_ep
@@ -788,6 +821,7 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
                 best_o * 100, best_c * 100, random_guess * 100,
             )
         )
+        _close_prefetcher(train_loader)
 
     return _finish_real_protocol(cfg, folds, random_guess, test_accs,
                                  test_accs_c, test_accs_o, train_accs)
