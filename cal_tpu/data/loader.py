@@ -216,9 +216,13 @@ class Loader:
     def _sim_tile_budget(self) -> int:
         """Max real tile count over the simulated pack chunkings."""
         if not hasattr(self, "_sim_tiles_max"):
+            # default=1 covers an empty dataset (e.g. a degenerate k-fold
+            # split): one all-padding tile per plan instead of a bare
+            # max()-of-nothing crash
             self._sim_tiles_max = max(
-                self._chunk_tile_count(c)
-                for chunks in self._sim_chunkings[:6] for c in chunks)
+                (self._chunk_tile_count(c)
+                 for chunks in self._sim_chunkings[:6] for c in chunks),
+                default=1)
         return self._sim_tiles_max
 
     def _sim_tile_fill(self) -> float:

@@ -698,6 +698,12 @@ def train_causal_real(dataset, num_classes: int, cfg: Config, verbose: bool = Tr
     ``dataset``: sequence of HostGraph."""
     from cal_tpu.data.kfold import k_fold
 
+    if cfg.folds < 2:
+        # test_max makes val==test = one fold's slice; folds=1 leaves an
+        # EMPTY train split (crashes deep in the pack loader otherwise)
+        raise ValueError(
+            f"--folds must be >= 2 under the k-fold test_max protocol "
+            f"(got {cfg.folds}): with one fold the train split is empty")
     if cfg.fold_parallel:
         if cfg.mesh_edge > 1:
             # Deliberate non-composition, not a TODO: fold-parallelism
