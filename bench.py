@@ -1,6 +1,6 @@
 """Headline benchmarks: causal-training throughput (edges/s) on one chip.
 
-Three tracked configs, one JSON line each (headline first):
+Four tracked configs, one JSON line each (headline first):
 
 1. ``causal_train_edges_per_s`` — the reference's canonical dev loop
    (main_syn.py defaults: CausalGCN, hidden=128, layers=3, batch=128,
@@ -8,7 +8,11 @@ Three tracked configs, one JSON line each (headline first):
    (forward, 3-branch loss, backward, Adam) in the bf16 production config.
 2. ``causal_gat_train_edges_per_s`` — same loop with the CausalGAT backbone,
    exercising the fused flash-GAT Pallas kernel (ops/pallas_gat.py).
-3. ``spmm_tiled_edges_per_s`` — the block-COO tiled Pallas SpMM
+3. ``sparse_pack_train_edges_per_s`` — the large-graph flagship: the
+   budget-packed sparse layout at REDDIT scale through the r5 fused-chain
+   kernels (pair conv + in-kernel coefficient chains), vs the worst-case
+   padded loader on the same workload.
+4. ``spmm_tiled_edges_per_s`` — the block-COO tiled Pallas SpMM
    (ops/pallas_spmm.py) at DD/REDDIT scale (V=8192, E=131072, H=128), the
    large-graph sparse hot kernel.
 
@@ -17,8 +21,10 @@ loop measured on this host's CPU (benchmarks/torch_baseline.py ->
 benchmarks/baseline_perf.json).  ``pct_hbm_roofline`` is the honest on-chip
 number: XLA's bytes-accessed estimate (compiled cost analysis) over the
 measured time, as a fraction of peak HBM bandwidth (utils/profiling.py
-HW_PEAKS); for config 3 it is the kernel's algorithmic byte floor
-(utils/profiling.py spmm_roofline).
+HW_PEAKS); for config 3 it is ``pct_mxu_floor`` instead (the kernelized
+step is compute-bound and XLA cost analysis is blind to Pallas-internal
+traffic — see _gcn_sparse_mxu_floor_ms and BASELINE.md); for config 4 it
+is the kernel's algorithmic byte floor (utils/profiling.py spmm_roofline).
 """
 from __future__ import annotations
 
