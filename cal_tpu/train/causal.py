@@ -87,7 +87,8 @@ class _EpochPrefetcher:
         self.loader, self.mesh = loader, mesh
         self._stop = False
         for fn in (self._produce_host, self._produce_device):
-            threading.Thread(target=fn, daemon=True).start()
+            threading.Thread(target=fn, daemon=True,
+                             name=f"epoch-prefetch-{fn.__name__}").start()
 
     def _put(self, q, item):
         while not self._stop:

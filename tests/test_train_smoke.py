@@ -87,3 +87,46 @@ def test_inference_serving_roundtrip(tiny_split, tmp_path):
     assert out["test_acc_co"] == pytest.approx(res["test_acc_co"], abs=1e-6)
     assert out["test_acc_c"] == pytest.approx(res["test_acc_c"], abs=1e-6)
     assert out["test_acc_o"] == pytest.approx(res["test_acc_o"], abs=1e-6)
+
+
+def test_epoch_prefetcher_teardown(tiny_split):
+    """r5: the scan-epoch prefetcher's producer threads must stop at the
+    end of a training run (close()), or every fold leaks two blocked
+    daemon threads pinning epoch stacks of host + device memory."""
+    import threading
+    import time
+
+    from cal_tpu.train.causal import _EpochPrefetcher
+
+    train, val, test = tiny_split
+    cfg = Config(model="CausalGCN", epochs=3, batch_size=32, hidden=16,
+                 layers=1, lr=0.01)
+    before = {t.ident for t in threading.enumerate()}
+    train_causal_syn(train, val, test, cfg, verbose=False)
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()
+                  and t.name.startswith("epoch-prefetch-")]
+        if not leaked:
+            break
+        time.sleep(0.2)
+    # the producers poll their stop flag at 0.2 s — give them a beat, then
+    # require every prefetcher thread spawned by the run to have exited
+    assert not leaked, f"prefetcher threads still alive: {leaked}"
+
+    # direct close(): queued stacks are dropped and next() never blocks
+    # a closed prefetcher's consumer forever via a full queue
+    from cal_tpu.data.loader import Loader, compute_budgets
+
+    budgets = compute_budgets(train, 32, "dense")
+    loader = Loader(train, 32, layout="dense", budgets=budgets)
+    pf = _EpochPrefetcher(loader, None)
+    assert pf.next() is not None
+    pf.close()
+    t0 = time.time()
+    while time.time() - t0 < 3.0 and any(
+            t.is_alive() for t in threading.enumerate()
+            if getattr(t, "_target", None) in (pf._produce_host,
+                                               pf._produce_device)):
+        time.sleep(0.1)
